@@ -1,0 +1,23 @@
+"""Engine configuration (replaces the reference's SparkArgs dataclass,
+/root/reference/src/pipeline/core/spark.py:15-26)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass
+class EngineConfig:
+    table_root: str
+    manifest_dir: str  # lineage manifest table (parquet)
+    checkpoint_dir: str
+    num_buckets: int = 32
+    # watermark horizon for cross-batch duplicate suppression
+    watermark: str = "10 minutes"
+    use_watermark_dedup: bool = True
+    # files per micro-batch for the streaming file source
+    max_files_per_trigger: int = 4
+    # salt buckets for extreme single-key skew in resolve (0 = off;
+    # partial aggregation already collapses per-key rows map-side)
+    salt_buckets: int = 0
+    normalize_text_col: bool = True

@@ -1,0 +1,55 @@
+"""Out-of-order resolution: keep only the max-LSN event per key.
+
+The reference applies change events in file-listing order and lets the
+last-listed blindly overwrite (per-row ALTER ... UPDATE loop,
+/root/reference/src/pipeline/core/spark.py:157-177) — event order is
+whatever the object-store listing says. Here order is defined by the
+log-sequence-number: within a micro-batch, for each (conv_id, turn_idx)
+only the event with the highest LSN can affect final state (ops are
+full-image I/U/D, last-writer-wins), so we reduce the batch to one row
+per key before the MERGE.
+
+Implemented as a hash aggregation (`max_by(struct(*), lsn)`), which
+Catalyst runs as partial (map-side) + final aggregate — each map task
+emits at most one row per key, so a hot conversation's events collapse
+before the shuffle. An optional explicit two-phase salted variant is
+provided for extreme single-key skew (10^8 events for one key), where
+even the final-side single reducer row stream matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def resolve_max_lsn(
+    df: DataFrame,
+    key: list[str],
+    lsn_col: str = "lsn",
+    salt_buckets: int = 0,
+) -> DataFrame:
+    """One row per `key`: the full row carrying the highest `lsn`.
+
+    Exact-duplicate events (same key and lsn — at-least-once re-emits)
+    collapse too, since tied rows are identical by construction.
+    """
+    others = [c for c in df.columns if c not in key]
+    packed = F.struct(*[F.col(c) for c in others]).alias("_row")
+
+    if salt_buckets and salt_buckets > 1:
+        # phase 1: reduce within (key, salt) groups; phase 2: final
+        salted = df.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(lsn_col)), F.lit(salt_buckets))
+        )
+        part = (
+            salted.groupBy(*key, "_salt")
+            .agg(F.max_by(packed, F.col(lsn_col)).alias("_row"),
+                 F.max(lsn_col).alias("_max_lsn"))
+        )
+        final = part.groupBy(*key).agg(
+            F.max_by(F.col("_row"), F.col("_max_lsn")).alias("_row")
+        )
+    else:
+        final = df.groupBy(*key).agg(F.max_by(packed, F.col(lsn_col)).alias("_row"))
+
+    return final.select(*key, "_row.*")

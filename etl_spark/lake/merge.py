@@ -1,0 +1,97 @@
+"""merge_into — set-oriented MERGE for LakeTable (copy-on-write).
+
+Replaces the reference's hand-rolled upsert, which collected the
+target's keys to the driver, split the batch with isin()/~isin()
+filters, appended the inserts, and ran a per-row ALTER TABLE UPDATE
+loop (/root/reference/src/pipeline/core/spark.py:125-177 — O(rows)
+driver round-trips). Here the same semantics are one distributed plan:
+
+  1. compute each source row's hash bucket; collect the *bucket ids*
+     only (bounded by num_buckets, never by rows),
+  2. scan ONLY those buckets of the target (file-level pruning),
+  3. FULL OUTER join target and source on the key — Catalyst/AQE pick
+     broadcast vs sort-merge and split skewed partitions,
+  4. per-row winner by LSN: source applies iff src.lsn > tgt.lsn
+     (idempotent under batch replay); op='D' writes a tombstone row
+     (kept so later-arriving stale I/U with lower LSN stay dead),
+  5. rewrite the touched buckets; atomic manifest swap publishes.
+
+Source contract: exactly one row per key (run engine.resolve first),
+columns = current logical schema + `op` ('I'|'U'|'D') + `lsn`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from etl_spark.lake.table import BUCKET_COL, SYS_DELETED, SYS_LSN, LakeTable
+
+OP_COL = "op"
+LSN_COL = "lsn"
+
+
+def merge_into(
+    table: LakeTable,
+    source: DataFrame,
+    batch_key: str | None = None,
+    batch_stats: dict | None = None,
+) -> int:
+    """Apply a resolved change set to `table`. Returns new version
+    (or current version unchanged if `batch_key` already committed)."""
+    m = table.manifest()
+    if batch_key is not None and batch_key in m.committed_batches:
+        return m.version
+
+    key = m.key
+    payload_cols = [f.name for f in m.schema.fields if f.name not in key]
+
+    src = source.withColumn(BUCKET_COL, table.bucket_expr(m))
+    # Bounded driver transfer: one int per touched bucket (<= num_buckets).
+    touched = sorted(
+        r[0] for r in src.select(BUCKET_COL).distinct().collect()
+    )
+    if not touched:
+        return m.version
+
+    tgt = table.read_raw(buckets=touched)
+
+    s = src.select(
+        *[F.col(k).alias(f"_s_{k}") for k in key],
+        *[F.col(c).alias(f"_s_{c}") for c in payload_cols],
+        F.col(OP_COL).alias("_s_op"),
+        F.col(LSN_COL).alias("_s_lsn"),
+    )
+    cond = None
+    for k in key:
+        c = tgt[k].eqNullSafe(s[f"_s_{k}"])
+        cond = c if cond is None else (cond & c)
+    j = tgt.join(s, cond, "full_outer")
+
+    take_src = F.col("_s_lsn").isNotNull() & (
+        F.col(SYS_LSN).isNull() | (F.col("_s_lsn") > F.col(SYS_LSN))
+    )
+    is_del = F.col("_s_op") == F.lit("D")
+
+    out_cols = []
+    for k in key:
+        out_cols.append(F.coalesce(s[f"_s_{k}"], tgt[k]).alias(k))
+    for c in payload_cols:
+        out_cols.append(
+            F.when(take_src & ~is_del, s[f"_s_{c}"])
+            .when(take_src & is_del, F.lit(None))
+            .otherwise(tgt[c])
+            .alias(c)
+        )
+    out_cols.append(
+        F.when(take_src, s["_s_lsn"]).otherwise(tgt[SYS_LSN]).alias(SYS_LSN)
+    )
+    out_cols.append(
+        F.when(take_src, is_del)
+        .otherwise(F.coalesce(tgt[SYS_DELETED], F.lit(False)))
+        .alias(SYS_DELETED)
+    )
+    merged = j.select(*out_cols).withColumn(BUCKET_COL, table.bucket_expr(m))
+
+    return table.overwrite_buckets(
+        merged, touched, batch_key=batch_key, batch_stats=batch_stats
+    )

@@ -1,0 +1,484 @@
+"""LakeTable — versioned-manifest parquet table with atomic commits.
+
+Layout on disk::
+
+    <root>/
+      _meta/v0000000001.json     one immutable manifest per snapshot
+      data/c<version>-<token>/_bucket=<k>/part-*.parquet
+
+Each manifest pins: the current schema (fields with stable IDs), the
+full schema history (schema_id -> fields) so old data files remain
+readable after renames/widens, the live data-file list (each file
+tagged with its bucket and the schema_id it was written under), and a
+ledger of committed batch keys with LSN stats (the exactly-once
+ledger).
+
+Commits are atomic: the manifest for version N+1 is created with
+O_CREAT|O_EXCL; a crash between data-file staging and manifest create
+leaves only unreferenced files (garbage, never corruption) — the same
+contract Iceberg gets from its catalog swap. The reference's
+equivalent is a non-atomic INSERT into a `loaded_files` table after
+the JDBC write (/root/reference/src/pipeline/core/client_clickhouse.py:197-203),
+which has a duplicate-on-crash window; the manifest swap closes it.
+
+Scale note (100 TB / 10^10 rows): one JSON manifest listing every data
+file is the single piece that would need Iceberg's manifest tree at
+real scale. Everything else — bucket pruning, CoW rewrite granularity,
+schema-ID mapping — is scale-ready by construction: a MERGE touches
+only the buckets present in the batch, and per-bucket file counts stay
+bounded via compaction (`LakeTable.compact`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+# System columns stored in every data file but not part of the logical
+# schema: the LSN monotonicity guard and the delete tombstone.
+SYS_LSN = "_lsn"
+SYS_DELETED = "_deleted"
+BUCKET_COL = "_bucket"
+
+_TYPE_MAP: dict[str, T.DataType] = {
+    "string": T.StringType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "boolean": T.BooleanType(),
+    "timestamp": T.TimestampType(),
+    "date": T.DateType(),
+    "binary": T.BinaryType(),
+}
+
+# Allowed type promotions (metadata-only; old files cast on read).
+# long->timestamp interprets epoch seconds, matching Spark cast
+# semantics — used for the "widen ts" schema-evolution op.
+ALLOWED_WIDENS: set[tuple[str, str]] = {
+    ("int", "long"),
+    ("int", "double"),
+    ("long", "double"),
+    ("float", "double"),
+    ("int", "timestamp"),
+    ("long", "timestamp"),
+}
+
+
+def spark_type(name: str) -> T.DataType:
+    if name.startswith("decimal"):
+        p, s = name[name.index("(") + 1 : -1].split(",")
+        return T.DecimalType(int(p), int(s))
+    if name.startswith("array<") and name.endswith(">"):
+        return T.ArrayType(spark_type(name[6:-1]))
+    return _TYPE_MAP[name]
+
+
+@dataclass(frozen=True)
+class Field:
+    id: int
+    name: str
+    type: str  # type string, e.g. "string", "long", "decimal(38,0)"
+
+    def to_json(self) -> dict:
+        return {"id": self.id, "name": self.name, "type": self.type}
+
+    @staticmethod
+    def from_json(d: dict) -> "Field":
+        return Field(d["id"], d["name"], d["type"])
+
+
+@dataclass
+class TableSchema:
+    schema_id: int
+    fields: list[Field]
+
+    def struct(self, with_system: bool = False) -> T.StructType:
+        cols = [T.StructField(f.name, spark_type(f.type), True) for f in self.fields]
+        if with_system:
+            cols.append(T.StructField(SYS_LSN, T.LongType(), True))
+            cols.append(T.StructField(SYS_DELETED, T.BooleanType(), True))
+        return T.StructType(cols)
+
+    def names(self) -> list[str]:
+        return [f.name for f in self.fields]
+
+    def by_id(self) -> dict[int, Field]:
+        return {f.id: f for f in self.fields}
+
+    def to_json(self) -> dict:
+        return {"schema_id": self.schema_id, "fields": [f.to_json() for f in self.fields]}
+
+    @staticmethod
+    def from_json(d: dict) -> "TableSchema":
+        return TableSchema(d["schema_id"], [Field.from_json(f) for f in d["fields"]])
+
+
+@dataclass
+class DataFile:
+    path: str  # relative to table root
+    bucket: int
+    schema_id: int
+    rows: int = -1
+
+    def to_json(self) -> dict:
+        return {"path": self.path, "bucket": self.bucket, "schema_id": self.schema_id, "rows": self.rows}
+
+    @staticmethod
+    def from_json(d: dict) -> "DataFile":
+        return DataFile(d["path"], d["bucket"], d["schema_id"], d.get("rows", -1))
+
+
+@dataclass
+class Manifest:
+    version: int
+    num_buckets: int
+    key: list[str]
+    bucket_by: str
+    schema: TableSchema
+    schemas: dict[int, TableSchema]
+    files: list[DataFile]
+    committed_batches: dict[str, dict]
+    parent: int | None = None
+    props: dict = dc_field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        return {
+            "format_version": 1,
+            "version": self.version,
+            "parent": self.parent,
+            "num_buckets": self.num_buckets,
+            "key": self.key,
+            "bucket_by": self.bucket_by,
+            "schema": self.schema.to_json(),
+            "schemas": {str(k): v.to_json() for k, v in self.schemas.items()},
+            "files": [f.to_json() for f in self.files],
+            "committed_batches": self.committed_batches,
+            "props": self.props,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "Manifest":
+        return Manifest(
+            version=d["version"],
+            num_buckets=d["num_buckets"],
+            key=d["key"],
+            bucket_by=d["bucket_by"],
+            schema=TableSchema.from_json(d["schema"]),
+            schemas={int(k): TableSchema.from_json(v) for k, v in d["schemas"].items()},
+            files=[DataFile.from_json(f) for f in d["files"]],
+            committed_batches=d["committed_batches"],
+            parent=d["parent"],
+            props=d.get("props", {}),
+        )
+
+
+class LakeTable:
+    """A versioned parquet table keyed on `key`, hash-bucketed on
+    `bucket_by` (the key prefix, e.g. conv_id) into `num_buckets`."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # ------------------------------------------------------------- meta
+    @property
+    def _meta_dir(self) -> str:
+        return os.path.join(self.root, "_meta")
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self._meta_dir, f"v{version:010d}.json")
+
+    def current_version(self) -> int:
+        vs = [
+            int(n[1:-5])
+            for n in os.listdir(self._meta_dir)
+            if n.startswith("v") and n.endswith(".json")
+        ]
+        if not vs:
+            raise FileNotFoundError(f"no manifests under {self._meta_dir}")
+        return max(vs)
+
+    def manifest(self, version: int | None = None) -> Manifest:
+        v = version if version is not None else self.current_version()
+        with open(self._manifest_path(v)) as fh:
+            return Manifest.from_json(json.load(fh))
+
+    def _commit_manifest(self, m: Manifest) -> None:
+        """Atomic O_EXCL create — the snapshot swap."""
+        path = self._manifest_path(m.version)
+        payload = json.dumps(m.to_json(), indent=1).encode()
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            os.write(fd, payload)
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+
+    # ------------------------------------------------------------ create
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        fields: list[tuple[str, str]],
+        key: list[str],
+        bucket_by: str,
+        num_buckets: int = 32,
+    ) -> "LakeTable":
+        t = cls(spark, root)
+        os.makedirs(t._meta_dir, exist_ok=False)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        schema = TableSchema(0, [Field(i + 1, n, ty) for i, (n, ty) in enumerate(fields)])
+        m = Manifest(
+            version=0,
+            num_buckets=num_buckets,
+            key=key,
+            bucket_by=bucket_by,
+            schema=schema,
+            schemas={0: schema},
+            files=[],
+            committed_batches={},
+        )
+        t._commit_manifest(m)
+        return t
+
+    @classmethod
+    def exists(cls, root: str) -> bool:
+        meta = os.path.join(root, "_meta")
+        return os.path.isdir(meta) and any(n.endswith(".json") for n in os.listdir(meta))
+
+    # ------------------------------------------------------------- read
+    def bucket_expr(self, m: Manifest | None = None):
+        m = m or self.manifest()
+        return F.pmod(F.xxhash64(F.col(m.bucket_by)), F.lit(m.num_buckets)).cast("int")
+
+    def _read_files(self, m: Manifest, files: list[DataFile]) -> DataFrame | None:
+        """Read a file set, mapping every file's write-time schema to
+        the current schema by field ID (rename-safe, widen-casting)."""
+        if not files:
+            return None
+        cur = m.schema
+        out: DataFrame | None = None
+        by_sid: dict[int, list[str]] = {}
+        for f in files:
+            by_sid.setdefault(f.schema_id, []).append(os.path.join(self.root, f.path))
+        for sid, paths in sorted(by_sid.items()):
+            ws = m.schemas[sid]
+            df = self.spark.read.schema(ws.struct(with_system=True)).parquet(*paths)
+            written_by_id = ws.by_id()
+            cols = []
+            for fld in cur.fields:
+                w = written_by_id.get(fld.id)
+                if w is None:  # column added after this file was written
+                    cols.append(F.lit(None).cast(spark_type(fld.type)).alias(fld.name))
+                else:
+                    c = F.col(w.name)
+                    if w.type != fld.type:  # widened since write
+                        c = c.cast(spark_type(fld.type))
+                    cols.append(c.alias(fld.name))
+            cols += [F.col(SYS_LSN), F.col(SYS_DELETED)]
+            df = df.select(*cols)
+            out = df if out is None else out.unionByName(df)
+        return out
+
+    def read(
+        self,
+        buckets: list[int] | None = None,
+        include_system: bool = False,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Scan live rows (tombstones filtered). `buckets` prunes the
+        file list — the partition-pruning path MERGE relies on."""
+        m = self.manifest(version)
+        files = m.files if buckets is None else [f for f in m.files if f.bucket in set(buckets)]
+        df = self._read_files(m, files)
+        if df is None:
+            df = self.spark.createDataFrame([], m.schema.struct(with_system=True))
+        df = df.filter(~F.coalesce(F.col(SYS_DELETED), F.lit(False)))
+        if not include_system:
+            df = df.drop(SYS_LSN, SYS_DELETED)
+        return df
+
+    def read_raw(self, buckets: list[int] | None = None, version: int | None = None) -> DataFrame:
+        """Scan including tombstones and system columns (merge input)."""
+        m = self.manifest(version)
+        files = m.files if buckets is None else [f for f in m.files if f.bucket in set(buckets)]
+        df = self._read_files(m, files)
+        if df is None:
+            df = self.spark.createDataFrame([], m.schema.struct(with_system=True))
+        return df
+
+    # ------------------------------------------------------------ write
+    def has_batch(self, batch_key: str) -> bool:
+        return batch_key in self.manifest().committed_batches
+
+    def _stage_dataframe(self, df: DataFrame, m: Manifest, version: int) -> list[DataFile]:
+        """Write `df` (must carry BUCKET_COL plus the physical schema)
+        under data/, one parquet dir per bucket, and return the new
+        DataFile entries. Not yet visible — only the manifest commit
+        publishes them."""
+        token = uuid.uuid4().hex[:12]
+        rel = os.path.join("data", f"c{version:010d}-{token}")
+        out_dir = os.path.join(self.root, rel)
+        # writer-side schema enforcement: physical files always match
+        # the declared types exactly (Iceberg write-contract analog)
+        cols = [
+            F.col(f.name).cast(spark_type(f.type)).alias(f.name)
+            for f in m.schema.fields
+        ] + [
+            F.col(SYS_LSN).cast("long").alias(SYS_LSN),
+            F.col(SYS_DELETED).cast("boolean").alias(SYS_DELETED),
+        ]
+        (
+            df.select(F.col(BUCKET_COL), *cols)
+            # one output file per bucket: buckets are the unit of CoW
+            # rewrite, so keep them compact
+            .repartition(BUCKET_COL)
+            .write.partitionBy(BUCKET_COL)
+            .mode("error")
+            .parquet(out_dir)
+        )
+        staged: list[DataFile] = []
+        for sub in sorted(os.listdir(out_dir)):
+            if not sub.startswith(f"{BUCKET_COL}="):
+                continue
+            b = int(sub.split("=")[1])
+            for fn in sorted(os.listdir(os.path.join(out_dir, sub))):
+                if fn.endswith(".parquet"):
+                    staged.append(
+                        DataFile(os.path.join(rel, sub, fn), b, m.schema.schema_id)
+                    )
+        return staged
+
+    def overwrite_buckets(
+        self,
+        df: DataFrame,
+        replaced_buckets: list[int],
+        batch_key: str | None = None,
+        batch_stats: dict | None = None,
+        props_update: dict | None = None,
+    ) -> int:
+        """Copy-on-write commit: replace `replaced_buckets` with the
+        contents of `df` (which must carry BUCKET_COL, system columns,
+        and only rows belonging to those buckets). Files in untouched
+        buckets carry over untouched. Returns the new version."""
+        m = self.manifest()
+        if batch_key is not None and batch_key in m.committed_batches:
+            return m.version  # idempotent replay of a committed batch
+        new_version = m.version + 1
+        staged = self._stage_dataframe(df, m, new_version)
+        replaced = set(replaced_buckets)
+        bad = [f for f in staged if f.bucket not in replaced]
+        if bad:
+            raise ValueError(f"staged rows outside replaced buckets: {bad[:3]}")
+        keep = [f for f in m.files if f.bucket not in replaced]
+        batches = dict(m.committed_batches)
+        if batch_key is not None:
+            batches[batch_key] = batch_stats or {}
+        m2 = Manifest(
+            version=new_version,
+            num_buckets=m.num_buckets,
+            key=m.key,
+            bucket_by=m.bucket_by,
+            schema=m.schema,
+            schemas=m.schemas,
+            files=keep + staged,
+            committed_batches=batches,
+            parent=m.version,
+            props={**m.props, **(props_update or {})},
+        )
+        self._commit_manifest(m2)
+        return new_version
+
+    def append_full(self, df: DataFrame, batch_key: str | None = None) -> int:
+        """Bulk load `df` (logical columns only; lsn defaults to 0) by
+        full overwrite — used to seed the base table."""
+        m = self.manifest()
+        cols = [F.col(c) for c in m.schema.names()]
+        if SYS_LSN not in df.columns:
+            df = df.withColumn(SYS_LSN, F.lit(0).cast("long"))
+        if SYS_DELETED not in df.columns:
+            df = df.withColumn(SYS_DELETED, F.lit(False))
+        df = df.select(*cols, F.col(SYS_LSN), F.col(SYS_DELETED)).withColumn(
+            BUCKET_COL, self.bucket_expr(m)
+        )
+        return self.overwrite_buckets(
+            df, list(range(m.num_buckets)), batch_key=batch_key
+        )
+
+    # --------------------------------------------------------- evolve
+    def _evolve(self, mutate) -> int:
+        """Metadata-only schema commit."""
+        m = self.manifest()
+        new_fields = mutate(list(m.schema.fields))
+        new_schema = TableSchema(m.schema.schema_id + 1, new_fields)
+        m2 = Manifest(
+            version=m.version + 1,
+            num_buckets=m.num_buckets,
+            key=m.key,
+            bucket_by=m.bucket_by,
+            schema=new_schema,
+            schemas={**m.schemas, new_schema.schema_id: new_schema},
+            files=m.files,
+            committed_batches=m.committed_batches,
+            parent=m.version,
+            props=m.props,
+        )
+        self._commit_manifest(m2)
+        return m2.version
+
+    def add_column(self, name: str, type_: str) -> int:
+        def mut(fields: list[Field]) -> list[Field]:
+            if any(f.name == name for f in fields):
+                raise ValueError(f"column {name} exists")
+            next_id = max(f.id for f in fields) + 1
+            return fields + [Field(next_id, name, type_)]
+
+        return self._evolve(mut)
+
+    def rename_column(self, old: str, new: str) -> int:
+        def mut(fields: list[Field]) -> list[Field]:
+            if not any(f.name == old for f in fields):
+                raise ValueError(f"no column {old}")
+            if any(f.name == new for f in fields):
+                raise ValueError(f"column {new} exists")
+            return [Field(f.id, new if f.name == old else f.name, f.type) for f in fields]
+
+        return self._evolve(mut)
+
+    def widen_type(self, name: str, new_type: str) -> int:
+        def mut(fields: list[Field]) -> list[Field]:
+            out = []
+            hit = False
+            for f in fields:
+                if f.name == name:
+                    if f.type != new_type and (f.type, new_type) not in ALLOWED_WIDENS:
+                        raise ValueError(f"illegal widen {f.type} -> {new_type}")
+                    out.append(Field(f.id, f.name, new_type))
+                    hit = True
+                else:
+                    out.append(f)
+            if not hit:
+                raise ValueError(f"no column {name}")
+            return out
+
+        return self._evolve(mut)
+
+    # -------------------------------------------------------- maintain
+    def compact(self, max_files_per_bucket: int = 1) -> int:
+        """Rewrite buckets whose live-file count exceeds the bound.
+        At 10^10-row scale this runs as a periodic maintenance job."""
+        m = self.manifest()
+        per_bucket: dict[int, int] = {}
+        for f in m.files:
+            per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+        todo = [b for b, n in per_bucket.items() if n > max_files_per_bucket]
+        if not todo:
+            return m.version
+        df = self.read_raw(buckets=todo).withColumn(BUCKET_COL, self.bucket_expr(m))
+        return self.overwrite_buckets(df, todo)

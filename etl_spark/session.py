@@ -1,0 +1,60 @@
+"""SparkSession factory.
+
+The reference builds a fresh ``local[*]`` session per staged file
+(/root/reference/src/pipeline/core/spark.py:31-47,188 — session
+create + stop inside every handler). The engine uses one long-lived
+session; parallelism is a parameter so the bench harness can run the
+identical job at N and 4N cores (scaling-efficiency evidence).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "etl_spark",
+    parallelism: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for the engine.
+
+    parallelism: executor-thread count for local mode; defaults to
+    $SPARK_GRAFT_CPUS or '*'. On a real cluster the same conf set is
+    passed to spark-submit and master/cores come from the cluster
+    manager instead.
+    """
+    # make the package importable in Python workers regardless of the
+    # driver script's cwd (local-mode analog of spark-submit --py-files)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{pkg_root}{os.pathsep}{pp}" if pp else pkg_root
+
+    cores = parallelism or os.environ.get("SPARK_GRAFT_CPUS")
+    master = f"local[{cores}]" if cores else "local[*]"
+    n_shuffle = shuffle_partitions or (int(cores) if cores else 32)
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # match shuffle width to cores locally; on a cluster this is
+        # sized to executors*cores and AQE coalesces from there
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.mergeSchema", "false")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,116 @@
+"""LakeTable unit tests: snapshots, bucket pruning, schema evolution."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from etl_spark.lake.table import BUCKET_COL, SYS_DELETED, SYS_LSN, LakeTable
+
+
+FIELDS = [("conv_id", "string"), ("turn_idx", "int"), ("text", "string"), ("ts", "long")]
+
+
+def make_table(spark, tmp_path, n_buckets=8) -> LakeTable:
+    return LakeTable.create(
+        spark,
+        str(tmp_path / "tbl"),
+        fields=FIELDS,
+        key=["conv_id", "turn_idx"],
+        bucket_by="conv_id",
+        num_buckets=n_buckets,
+    )
+
+
+def seed(spark, table, n=20):
+    pdf = pd.DataFrame(
+        dict(
+            conv_id=[f"c{i % 5}" for i in range(n)],
+            turn_idx=list(range(n)),
+            text=[f"t{i}" for i in range(n)],
+            ts=list(range(n)),
+        )
+    )
+    df = spark.createDataFrame(pdf).withColumn("turn_idx", F.col("turn_idx").cast("int"))
+    table.append_full(df, batch_key="seed")
+
+
+def test_create_read_roundtrip(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    seed(spark, t)
+    got = t.read().orderBy("turn_idx").toPandas()
+    assert len(got) == 20
+    assert list(got.columns) == ["conv_id", "turn_idx", "text", "ts"]
+    assert got["text"].tolist() == [f"t{i}" for i in range(20)]
+
+
+def test_commit_is_versioned_and_idempotent(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    seed(spark, t)
+    v1 = t.current_version()
+    # same batch key again -> no-op commit
+    df = t.read_raw().withColumn(BUCKET_COL, t.bucket_expr())
+    v2 = t.overwrite_buckets(df, list(range(8)), batch_key="seed")
+    assert v2 == v1
+    assert t.has_batch("seed")
+
+
+def test_bucket_pruned_read(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    seed(spark, t)
+    m = t.manifest()
+    all_rows = t.read().count()
+    # reading a strict subset of buckets reads a strict subset of files
+    some = t.read(buckets=[m.files[0].bucket]).count()
+    assert 0 < some < all_rows
+
+
+def test_schema_evolution_metadata_only(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    seed(spark, t)
+    files_before = {f.path for f in t.manifest().files}
+    t.add_column("lang", "string")
+    t.rename_column("text", "body")
+    t.widen_type("ts", "timestamp")
+    m = t.manifest()
+    assert {f.path for f in m.files} == files_before  # no data rewrite
+    got = t.read().orderBy("turn_idx").toPandas()
+    assert list(got.columns) == ["conv_id", "turn_idx", "body", "ts", "lang"]
+    assert got["lang"].isna().all()
+    assert got["body"].tolist() == [f"t{i}" for i in range(20)]
+    # long epoch-sec cast to timestamp on read
+    assert pd.Timestamp(got["ts"].iloc[5]) == pd.Timestamp(5, unit="s")
+
+
+def test_widen_rejects_narrowing(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    with pytest.raises(ValueError):
+        t.widen_type("ts", "int")
+
+
+def test_tombstones_hidden_from_read(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    seed(spark, t)
+    raw = t.read_raw().withColumn(
+        SYS_DELETED, F.col("turn_idx") < 5
+    ).withColumn(SYS_LSN, F.lit(1).cast("long")).withColumn(BUCKET_COL, t.bucket_expr())
+    t.overwrite_buckets(raw, list(range(8)), batch_key="del")
+    assert t.read().count() == 15
+    assert t.read_raw().count() == 20
+
+
+def test_compact_bounds_files(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    seed(spark, t)
+    seed2 = t.read_raw().withColumn(BUCKET_COL, t.bucket_expr())
+    # append same buckets again as extra files via a manual two-commit
+    t.overwrite_buckets(
+        seed2.unionByName(seed2), list({f.bucket for f in t.manifest().files}),
+        batch_key="dupe",
+    )
+    v = t.compact(max_files_per_bucket=1)
+    per_bucket: dict[int, int] = {}
+    for f in t.manifest(v).files:
+        per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+    assert all(n == 1 for n in per_bucket.values())
