@@ -73,8 +73,12 @@ def read_manifest(spark: SparkSession, manifest_dir: str) -> DataFrame:
 
 def check_invariants(spark: SparkSession, manifest_dir: str) -> dict:
     """Assert the lineage invariants (FIXTURES.md §5): per-batch LSN
-    ranges are disjoint and ordered by batch_id, and per-batch resolved
-    counts are consistent. Returns summary stats; raises on violation."""
+    ranges partition the log — pairwise disjoint, no batch applied
+    twice — and per-batch resolved counts are consistent. Batches need
+    not arrive in LSN order (the file source may reorder ties; the
+    MERGE LSN guard makes any order safe), so disjointness is checked
+    over ranges sorted by their low end. Returns summary stats; raises
+    on violation."""
     df = read_manifest(spark, manifest_dir)
     per_batch = (
         df.groupBy("batch_id")
@@ -84,7 +88,7 @@ def check_invariants(spark: SparkSession, manifest_dir: str) -> dict:
             F.sum("row_count").alias("keys_resolved"),
             F.max("events_distinct").alias("events_distinct"),
         )
-        .orderBy("batch_id")
+        .orderBy("lo")
         .collect()
     )
     prev_hi = -1
@@ -93,7 +97,7 @@ def check_invariants(spark: SparkSession, manifest_dir: str) -> dict:
         if r["lo"] <= prev_hi:
             raise AssertionError(
                 f"batch {r['batch_id']}: LSN range [{r['lo']},{r['hi']}] "
-                f"overlaps previous max {prev_hi}"
+                f"overlaps another batch's range (prev hi {prev_hi})"
             )
         prev_hi = r["hi"]
         total_distinct += r["events_distinct"]
