@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship CDC path — bootstrap + incremental
+MERGE of the sf0.001 events changelog into a bucketed lake table —
+and returns the final upserted state. `queries()` / `oracle_sql()`
+delegate to etl_spark.contract: one entry per operator family from
+SURVEY.md §2 plus the training-data-pipeline extension (dedup,
+similarity search, text analysis, multimodal plumbing), each with an
+exact DuckDB oracle where SQL-expressible.
 """
 
 from __future__ import annotations
@@ -13,26 +15,20 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from etl_spark.contract import ORACLES, QUERIES, q_cdc_merge_upsert
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: CDC upsert replay of the sf0.001 events changelog
+    through the bucket-pruned copy-on-write MERGE (bootstrap from the
+    first half, two incremental batches for the rest), returning the
+    final table state (last-writer-wins per (user_id, event_type))."""
+    return q_cdc_merge_upsert(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

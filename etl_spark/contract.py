@@ -1,0 +1,751 @@
+"""Driver-contract queries: Spark implementation + DuckDB oracle SQL.
+
+Each entry exercises one operator family from SURVEY.md §2 (CDC core)
+or the training-data-pipeline extension (dedup / similarity / text /
+multimodal), over the driver's parquet tables at `sf_dir`. The paired
+oracle SQL is exact — integer/decimal arithmetic (cents/e4 tricks for
+money), deterministic tie-breaks, explicit casts so DuckDB output
+types match Spark's (count->BIGINT, SUM(BIGINT)->CAST BIGINT,
+row_number->INTEGER, len/length->INTEGER).
+
+Non-SQL-expressible entries (streaming replay, xxhash64-based simhash,
+mapInPandas stubs) ship without oracle SQL -> driver records the
+weaker rows-only check; their golden tests live in tests/.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from etl_spark.engine.resolve import resolve_max_lsn
+from etl_spark.functions import text as TX
+from etl_spark.lake.merge import merge_into
+from etl_spark.lake.table import LakeTable
+from etl_spark.operators import dedup as DD, multimodal as MM, similarity as SIM
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _tmp(prefix: str) -> str:
+    return os.path.join(
+        tempfile.gettempdir(), f"etl_spark_{prefix}_{uuid.uuid4().hex[:8]}"
+    )
+
+
+# =====================================================================
+# CDC core (SURVEY.md §2: W1 resolve, J1/J2 merge, P*, A1, S8)
+# =====================================================================
+
+def q_cdc_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: max-LSN resolution via max_by aggregation (map-side partial
+    agg collapses per-key rows before the shuffle)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("event_id").alias("lsn"),
+        F.col("value"),
+        F.col("ts"),
+    )
+    out = resolve_max_lsn(ev, ["user_id", "event_type"])
+    return out.select(
+        "user_id",
+        "event_type",
+        F.col("lsn").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+        F.col("ts").alias("last_ts"),
+    )
+
+
+SQL_CDC_LATEST = """
+SELECT user_id, event_type, event_id AS last_event_id,
+       value AS last_value, ts AS last_ts
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+def q_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end lake MERGE: bootstrap from the first half of the
+    events changelog, apply the second half in two batches through the
+    real bucket-pruned CoW merge; final state == last-writer-wins."""
+    ev = _t(spark, sf_dir, "events")
+    n_half = ev.count() // 2
+    root = _tmp("merge")
+    table = LakeTable.create(
+        spark,
+        root,
+        fields=[("user_id", "long"), ("event_type", "string"),
+                ("value", "double"), ("ts", "timestamp")],
+        key=["user_id", "event_type"],
+        bucket_by="user_id",
+        num_buckets=16,
+    )
+    src = ev.select(
+        "user_id", "event_type", "value", "ts",
+        F.col("event_id").alias("lsn"), F.lit("U").alias("op"),
+    )
+    first = resolve_max_lsn(
+        src.filter(F.col("lsn") < n_half), ["user_id", "event_type"]
+    )
+    merge_into(table, first, batch_key="b0")
+    for i, (lo, hi) in enumerate([(n_half, n_half + n_half // 2), (n_half + n_half // 2, 1 << 60)]):
+        batch = resolve_max_lsn(
+            src.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi)),
+            ["user_id", "event_type"],
+        )
+        merge_into(table, batch, batch_key=f"b{i+1}")
+    return table.read().select("user_id", "event_type", "value", "ts")
+
+
+SQL_CDC_MERGE = """
+SELECT user_id, event_type, value, ts
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+def q_cdc_delete_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with tombstones: 'error' events delete the key; a later
+    non-error event resurrects it (last-writer-wins by LSN)."""
+    ev = _t(spark, sf_dir, "events")
+    root = _tmp("del")
+    table = LakeTable.create(
+        spark,
+        root,
+        fields=[("user_id", "long"), ("event_type", "string"), ("value", "double")],
+        key=["user_id"],
+        bucket_by="user_id",
+        num_buckets=16,
+    )
+    src = ev.select(
+        "user_id",
+        F.col("event_type"),
+        F.col("value"),
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    resolved = resolve_max_lsn(src, ["user_id"])
+    merge_into(table, resolved, batch_key="b0")
+    return table.read().select("user_id", "event_type", "value")
+
+
+SQL_CDC_DELETE = """
+SELECT user_id, event_type, value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+def q_cdc_anti_join_inserts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 insert split done right: LEFT ANTI join instead of the
+    reference's driver-side collect+isin (spark.py:135-140)."""
+    ev = _t(spark, sf_dir, "events")
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("user_id")
+    )
+    return (
+        ev.select("user_id").distinct()
+        .join(F.broadcast(sup), "user_id", "left_anti")
+        .select("user_id")
+    )
+
+
+SQL_CDC_ANTI = """
+SELECT DISTINCT user_id FROM events
+WHERE user_id NOT IN (SELECT s_suppkey FROM supplier)
+"""
+
+
+def q_cdc_semi_join_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 update split: LEFT SEMI join (keys already in the target)."""
+    ev = _t(spark, sf_dir, "events")
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("user_id")
+    )
+    return (
+        ev.select("user_id").distinct()
+        .join(F.broadcast(sup), "user_id", "left_semi")
+        .select("user_id")
+    )
+
+
+SQL_CDC_SEMI = """
+SELECT DISTINCT user_id FROM events
+WHERE user_id IN (SELECT s_suppkey FROM supplier)
+"""
+
+
+def q_proj_cast_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2/P3: the reference's select/alias/cast mapping blocks
+    (spark.py:108-121) as one declarative projection."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").alias("id"),
+        F.col("user_id").cast("int").alias("uid"),
+        F.upper(F.col("event_type")).alias("etype"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        F.to_date("ts").alias("day"),
+        F.lit("events").alias("src_table"),
+    )
+
+
+SQL_PROJ_CAST = """
+SELECT event_id AS id,
+       CAST(user_id AS INTEGER) AS uid,
+       upper(event_type) AS etype,
+       CAST(round(value * 100) AS BIGINT) AS value_cents,
+       CAST(ts AS DATE) AS day,
+       'events' AS src_table
+FROM events
+"""
+
+
+def q_agg_groupby_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: hash group-by with count / distinct / sum (cents-exact)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+SQL_AGG_GROUPBY = """
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       min(event_id) AS min_id,
+       max(event_id) AS max_id
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_window_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2-style ordering window: per-user event gaps in seconds."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    # parquet naive timestamps load as TIMESTAMP_NTZ; route through
+    # timestamp_ltz (session tz = UTC) to get epoch seconds
+    epoch_s = F.col("ts").cast("timestamp_ltz").cast("long")
+    return ev.select(
+        "user_id",
+        "event_id",
+        (epoch_s - F.lag(epoch_s).over(w)).alias("gap_s"),
+    )
+
+
+SQL_WINDOW_LAG = """
+SELECT user_id, event_id,
+       CAST(floor(epoch(ts)) AS BIGINT)
+         - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id
+                                                       ORDER BY event_id) AS gap_s
+FROM events
+"""
+
+
+def q_lineage_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineage-manifest rollup shape: per-bucket LSN range, count, and
+    order-insensitive content checksum (md5-prefix sum)."""
+    ev = _t(spark, sf_dir, "events")
+    canon = F.concat_ws(
+        "|", F.col("event_id"), F.col("user_id"), F.col("event_type")
+    )
+    csum = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("long")
+    return (
+        ev.withColumn("bucket", F.pmod(F.col("user_id"), F.lit(32)).cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.min("event_id").alias("min_lsn"),
+            F.max("event_id").alias("max_lsn"),
+            F.count("*").alias("row_count"),
+            F.sum(csum).alias("checksum"),
+        )
+    )
+
+
+SQL_LINEAGE_ROLLUP = """
+SELECT CAST(user_id % 32 AS INTEGER) AS bucket,
+       min(event_id) AS min_lsn,
+       max(event_id) AS max_lsn,
+       count(*) AS row_count,
+       CAST(sum(CAST(('0x' || substr(md5(event_id || '|' || user_id || '|' || event_type), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum
+FROM events
+GROUP BY 1
+"""
+
+
+def q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/S4 analog: semi-structured JSON payload decode (the
+    envelope-unwrap path, kafka_multi_consumer.py:68-78)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+SQL_JSON_PROPS = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events
+"""
+
+
+# =====================================================================
+# Analytics (agg/join/sort coverage at warehouse shape)
+# =====================================================================
+
+def q_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped rollup, integer-exact (cents / basis points)."""
+    li = _t(spark, sf_dir, "lineitem")
+    ext_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_bp = F.round(F.col("l_discount") * 100).cast("long")
+    tax_bp = F.round(F.col("l_tax") * 100).cast("long")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(ext_c).alias("sum_base_cents"),
+            F.sum(ext_c * (100 - disc_bp)).alias("sum_disc_e4"),
+            F.sum(ext_c * (100 - disc_bp) * (100 + tax_bp)).alias("sum_charge_e6"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_disc_e4,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT))
+                * (100 + CAST(round(l_tax*100) AS BIGINT))) AS BIGINT) AS sum_charge_e6,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped join + top-k: broadcast the filtered dimension,
+    integer-exact revenue, deterministic sort."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15")
+    )
+    rev = (F.round(F.col("l_extendedprice") * 100).cast("long")
+           * (100 - F.round(F.col("l_discount") * 100).cast("long")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).alias("revenue_e4"))
+        .orderBy(F.col("revenue_e4").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+SQL_TPCH_Q3 = """
+SELECT l_orderkey, o_orderdate,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue_e4 DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# =====================================================================
+# Text analysis (training-data pipeline)
+# =====================================================================
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.char_count(t).alias("n_chars"),
+        TX.token_count(t).alias("n_tokens"),
+        TX.punct_count(t).alias("n_punct"),
+        TX.digit_count(t).alias("n_digits"),
+        TX.stopword_count(t).alias("n_stop"),
+    )
+
+
+SQL_TEXT_TOKEN_STATS = """
+SELECT doc_id,
+       CAST(length(text) AS INTEGER) AS n_chars,
+       CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS INTEGER) AS n_tokens,
+       CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS INTEGER) AS n_punct,
+       CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INTEGER) AS n_digits,
+       CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                t -> list_contains(['the','a','of','and','to','in','is','that'], t))) AS INTEGER) AS n_stop
+FROM documents
+"""
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.lang_id(F.col("text")).alias("pred_lang"),
+        F.col("lang").alias("actual_lang"),
+    )
+
+
+SQL_TEXT_LANG_ID = """
+WITH h AS (
+  SELECT doc_id, lang,
+    len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+        t -> list_contains(['the','a','of','and','to','in','is','that'], t))) AS en_hits,
+    len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+        t -> list_contains(['el','la','de','y','que','en','un','es'], t))) AS es_hits,
+    length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS zh_chars
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN zh_chars > 0 THEN 'zh'
+            WHEN en_hits = 0 AND es_hits = 0 THEN 'und'
+            WHEN en_hits >= es_hits THEN 'en'
+            ELSE 'es' END AS pred_lang,
+       lang AS actual_lang
+FROM h
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+
+
+SQL_TEXT_FINGERPRINT = """
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+FROM documents
+"""
+
+
+# =====================================================================
+# Deduplication (training-data pipeline)
+# =====================================================================
+
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return DD.exact_dedup_groups(docs, "doc_id", "text")
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+       min(doc_id) AS keeper_id,
+       count(*) AS n_dups
+FROM documents
+GROUP BY 1
+"""
+
+# Shared CTE prefix for the shingle-based oracles (3-gram shingles over
+# normalized tokens, distinct per doc, ultra-common shingles dropped).
+_SQL_SHINGLES = """
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents),
+sh0 AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                     ELSE list_transform(range(1, len(t) - 1),
+                                         i -> array_to_string(list_slice(t, i, i + 2), ' '))
+                END) AS shingle
+  FROM toks),
+ok AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 1000),
+sh AS (SELECT sh0.* FROM sh0 JOIN ok USING (shingle)),
+stats AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id)
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+
+
+SQL_DEDUP_JACCARD = _SQL_SHINGLES + """,
+shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.id < b.id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, shared, sa.n_sh AS n_a, sb.n_sh AS n_b
+FROM shared
+JOIN stats sa ON sa.id = id_a
+JOIN stats sb ON sb.id = id_b
+WHERE shared * 100 >= 80 * (sa.n_sh + sb.n_sh - shared)
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=8, bands=4, threshold=0.8
+    )
+
+
+SQL_DEDUP_MINHASH = _SQL_SHINGLES + """,
+sig AS (
+  SELECT id,
+         min(md5('0:' || shingle)) AS mh_0, min(md5('1:' || shingle)) AS mh_1,
+         min(md5('2:' || shingle)) AS mh_2, min(md5('3:' || shingle)) AS mh_3,
+         min(md5('4:' || shingle)) AS mh_4, min(md5('5:' || shingle)) AS mh_5,
+         min(md5('6:' || shingle)) AS mh_6, min(md5('7:' || shingle)) AS mh_7
+  FROM sh GROUP BY id),
+bands AS (
+  SELECT id, 0 AS band, md5(mh_0 || '|' || mh_1) AS bkey FROM sig UNION ALL
+  SELECT id, 1, md5(mh_2 || '|' || mh_3) FROM sig UNION ALL
+  SELECT id, 2, md5(mh_4 || '|' || mh_5) FROM sig UNION ALL
+  SELECT id, 3, md5(mh_6 || '|' || mh_7) FROM sig),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b USING (band, bkey)
+  WHERE a.id < b.id),
+shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.id < b.id
+  GROUP BY 1, 2)
+SELECT s.id_a, s.id_b, s.shared, sa.n_sh AS n_a, sb.n_sh AS n_b
+FROM shared s
+JOIN cand USING (id_a, id_b)
+JOIN stats sa ON sa.id = s.id_a
+JOIN stats sb ON sb.id = s.id_b
+WHERE s.shared * 100 >= 80 * (sa.n_sh + sb.n_sh - s.shared)
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (xxhash64-based — no SQL oracle; golden
+    tested against a pure-Python reference in tests/test_dedup.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = DD.simhash64(docs, "doc_id", "text")
+    return DD.simhash_pairs(sigs, max_hamming=3, bands=4)
+
+
+# =====================================================================
+# Similarity search (training-data pipeline)
+# =====================================================================
+
+_SQL_COS = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+"""
+
+
+def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.cosine_topk(emb, queries, k=3)
+
+
+SQL_SIM_COSINE_TOPK = _SQL_COS + """
+q AS (SELECT * FROM e WHERE vec_id < 10),
+s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS score
+      FROM q JOIN e c ON c.vec_id <> q.vec_id)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id ASC) AS rank
+      FROM s)
+WHERE rank <= 3
+"""
+
+_SQL_BUCKET = " + ".join(
+    f"(CASE WHEN v[{i+1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(8)
+)
+
+
+def q_sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.lsh_ann_topk(emb, queries, k=3, n_bits=8)
+
+
+SQL_SIM_LSH_ANN = _SQL_COS + f"""
+b AS (SELECT vec_id, v, CAST({_SQL_BUCKET} AS INTEGER) AS bkt FROM e),
+q AS (SELECT * FROM b WHERE vec_id < 10),
+s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS score
+      FROM q JOIN b c ON c.bkt = q.bkt AND c.vec_id <> q.vec_id)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id ASC) AS rank
+      FROM s)
+WHERE rank <= 3
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.embedding_neardup_pairs(emb, threshold=0.45)
+
+
+SQL_EMBEDDING_NEARDUP = _SQL_COS + """
+s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS score
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(score, 4) AS score_r4
+FROM s WHERE score >= 0.45
+"""
+
+
+# =====================================================================
+# Multimodal plumbing
+# =====================================================================
+
+def q_mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return MM.media_from_text(docs, "doc_id", "text").select(
+        "media_id", "kind", "n_bytes", "sha256"
+    )
+
+
+SQL_MM_BINARY = """
+SELECT doc_id AS media_id,
+       'text' AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents
+"""
+
+
+def q_mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas Arrow-batched decode plumbing (deterministic fake
+    codec — no SQL oracle; rows-only check + golden test)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = MM.media_from_text(docs, "doc_id", "text")
+    feats = MM.decode_features(media, dim=16, fake=True)
+    return feats.select(
+        "media_id", "kind", "n_bytes", F.size("feature").alias("dim")
+    )
+
+
+# =====================================================================
+# Full CDC engine replay (rows-only: streaming + schema evolution;
+# golden-tested against the sequential oracle in tests/)
+# =====================================================================
+
+def q_cdc_transcripts_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_spark.config import EngineConfig
+    from etl_spark.engine.apply import apply_batch
+    from etl_spark.gen.binlog import GenConfig, gen_base, gen_binlog, gen_schema_ops
+    from etl_spark.pipeline import bootstrap, final_state
+
+    g = GenConfig(
+        n_convs=20, n_events=300, dup_rate=0.05, disorder_window=8,
+        segment_size=100, schema_op_fracs=(0.25, 0.5, 0.75),
+    )
+    base = gen_base(g)
+    ops = gen_schema_ops(g)
+    binlog = gen_binlog(g, base, ops)
+    root = _tmp("replay")
+    cfg = EngineConfig(
+        table_root=os.path.join(root, "tbl"),
+        manifest_dir=os.path.join(root, "manifest"),
+        checkpoint_dir=os.path.join(root, "ckpt"),
+        num_buckets=8,
+    )
+    bootstrap(spark, cfg, base)
+    for batch_id, (_, seg) in enumerate(binlog.groupby("_seg")):
+        df = spark.createDataFrame(seg.drop(columns="_seg"))
+        df = df.withColumn("turn_idx", F.col("turn_idx").cast("int")).withColumn(
+            "schema_version", F.col("schema_version").cast("int")
+        )
+        apply_batch(spark, cfg, ops, df, batch_id)
+    return final_state(spark, cfg)
+
+
+# =====================================================================
+# Registry
+# =====================================================================
+
+QUERIES = {
+    "cdc_latest_per_key": q_cdc_latest_per_key,
+    "cdc_merge_upsert": q_cdc_merge_upsert,
+    "cdc_delete_semantics": q_cdc_delete_semantics,
+    "cdc_anti_join_inserts": q_cdc_anti_join_inserts,
+    "cdc_semi_join_updates": q_cdc_semi_join_updates,
+    "proj_cast_rename": q_proj_cast_rename,
+    "agg_groupby_stats": q_agg_groupby_stats,
+    "window_lag_gap": q_window_lag_gap,
+    "lineage_bucket_rollup": q_lineage_bucket_rollup,
+    "json_extract_props": q_json_extract_props,
+    "tpch_q1_pricing": q_tpch_q1_pricing,
+    "tpch_q3_topk": q_tpch_q3_topk,
+    "text_token_stats": q_text_token_stats,
+    "text_lang_id": q_text_lang_id,
+    "text_fingerprint": q_text_fingerprint,
+    "dedup_exact_docs": q_dedup_exact_docs,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "sim_cosine_topk": q_sim_cosine_topk,
+    "sim_lsh_ann_topk": q_sim_lsh_ann_topk,
+    "embedding_neardup": q_embedding_neardup,
+    "mm_binary_metadata": q_mm_binary_metadata,
+    "mm_decode_features": q_mm_decode_features,
+    "cdc_transcripts_replay": q_cdc_transcripts_replay,
+}
+
+ORACLES = {
+    "cdc_latest_per_key": SQL_CDC_LATEST,
+    "cdc_merge_upsert": SQL_CDC_MERGE,
+    "cdc_delete_semantics": SQL_CDC_DELETE,
+    "cdc_anti_join_inserts": SQL_CDC_ANTI,
+    "cdc_semi_join_updates": SQL_CDC_SEMI,
+    "proj_cast_rename": SQL_PROJ_CAST,
+    "agg_groupby_stats": SQL_AGG_GROUPBY,
+    "window_lag_gap": SQL_WINDOW_LAG,
+    "lineage_bucket_rollup": SQL_LINEAGE_ROLLUP,
+    "json_extract_props": SQL_JSON_PROPS,
+    "tpch_q1_pricing": SQL_TPCH_Q1,
+    "tpch_q3_topk": SQL_TPCH_Q3,
+    "text_token_stats": SQL_TEXT_TOKEN_STATS,
+    "text_lang_id": SQL_TEXT_LANG_ID,
+    "text_fingerprint": SQL_TEXT_FINGERPRINT,
+    "dedup_exact_docs": SQL_DEDUP_EXACT,
+    "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
+    "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
+    "sim_cosine_topk": SQL_SIM_COSINE_TOPK,
+    "sim_lsh_ann_topk": SQL_SIM_LSH_ANN,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "mm_binary_metadata": SQL_MM_BINARY,
+    # dedup_simhash, mm_decode_features, cdc_transcripts_replay:
+    # intentionally no SQL oracle (non-SQL-expressible; rows-only)
+}

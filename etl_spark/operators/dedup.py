@@ -1,0 +1,290 @@
+"""Deduplication operators over a documents table.
+
+Scale design (100 TB corpus, 10^9+ docs):
+- exact dedup is a hash-groupBy on a 128-bit fingerprint: one shuffle
+  keyed on the hash, partial aggregation collapses duplicates map-side;
+- n-gram Jaccard / MinHash-LSH avoid the O(n^2) pair space: documents
+  meet only through shared shingles / LSH band buckets, so the join
+  fan-out is bounded by bucket sizes, not corpus size. Mega-buckets
+  (stopword-like shingles) are capped via a frequency filter before the
+  self-join — the classic skew guard for similarity self-joins;
+- everything is built-in DataFrame ops (no Python in the hot path);
+  hashes are md5-based so the DuckDB oracle can reproduce them
+  bit-for-bit (xxhash64 would be faster but is Spark-private; swap via
+  `hash_fn` in production).
+
+The reference's only dedup is filename-set diffing
+(/root/reference/src/pipeline/core/client_clickhouse.py:193); content
+dedup is new engine surface for the training-data pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from etl_spark.functions.text import fingerprint, normalized_text
+
+
+# --------------------------------------------------------------- exact
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per distinct content fingerprint: the keeper (min id)
+    and the group size. `n_dups > 1` rows are duplicate clusters."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep exactly one row (min id) per distinct fingerprint."""
+    keep = exact_dedup_groups(df, id_col, text_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# ------------------------------------------------------------ shingles
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    tokens -> sliding window of n joined by ' '; documents shorter than
+    n tokens contribute their full token string as one shingle so no
+    document silently drops out of the candidate space.
+    """
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    grams = F.when(
+        F.size(toks) < n, F.array(F.concat_ws(" ", toks))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def _shingle_stats(sh: DataFrame) -> DataFrame:
+    return sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs by exact token-n-gram Jaccard >= threshold.
+
+    Candidate pairs come from a shingle self-join (docs only meet via a
+    shared shingle); `max_shingle_freq` drops degenerate ultra-common
+    shingles before the join (skew guard: a shingle shared by f docs
+    creates f^2/2 pairs). Jaccard compared in integer arithmetic
+    (shared/union cross-multiplied) — no float threshold ambiguity.
+    Returns (id_a, id_b, shared, n_a, n_b) with id_a < id_b.
+    """
+    sh = shingles(df, id_col, text_col, n)
+    freq_ok = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("f"))
+        .filter(F.col("f") <= max_shingle_freq)
+        .select("shingle")
+    )
+    sh = sh.join(freq_ok, "shingle", "left_semi")
+    stats = _shingle_stats(sh)
+
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = stats.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = stats.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    pct = int(round(threshold * 100))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            F.col("shared") * 100
+            >= F.lit(pct) * (F.col("n_a") + F.col("n_b") - F.col("shared"))
+        )
+        .select("id_a", "id_b", "shared", "n_a", "n_b")
+    )
+
+
+# ------------------------------------------------------------- minhash
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 8
+) -> DataFrame:
+    """MinHash signature per document: sig_i = min over shingles of
+    md5(i || ':' || shingle) (lexicographic min of hex digests — a
+    valid min-wise permutation family, and reproducible in any engine
+    with md5). One aggregation, num_hashes columns."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.8,
+    max_shingle_freq: int = 1000,
+) -> DataFrame:
+    """MinHash + LSH near-dup pairs, verified by true Jaccard.
+
+    shingle -> minhash signature (num_hashes) -> band keys (bands bands
+    of num_hashes/bands rows, banded signature md5) -> bucket self-join
+    (candidates collide in >= 1 band) -> exact Jaccard verify at
+    `threshold`. At corpus scale the only shuffles are the signature
+    groupBy and the band-bucket join; bucket sizes are the collision
+    counts, so the pair space never materializes.
+
+    Returns (id_a, id_b, shared, n_a, n_b) — same shape as
+    ngram_jaccard_pairs; LSH only prunes candidates.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sh = shingles(df, id_col, text_col, n)
+    freq_ok = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("f"))
+        .filter(F.col("f") <= max_shingle_freq)
+        .select("shingle")
+    )
+    sh = sh.join(freq_ok, "shingle", "left_semi")
+    sigs = minhash_signatures(sh, num_hashes)
+
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
+        band_rows.append(
+            sigs.select(
+                "id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bkey"),
+            )
+        )
+    banded = band_rows[0]
+    for br in band_rows[1:]:
+        banded = banded.unionByName(br)
+
+    la = banded.select(F.col("id").alias("id_a"), "band", "bkey")
+    lb = banded.select(F.col("id").alias("id_b"), "band", "bkey")
+    cand = (
+        la.join(lb, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    # exact verify on candidates only
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+        .join(cand, ["id_a", "id_b"], "left_semi")
+    )
+    stats = _shingle_stats(sh)
+    sa = stats.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = stats.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    pct = int(round(threshold * 100))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            F.col("shared") * 100
+            >= F.lit(pct) * (F.col("n_a") + F.col("n_b") - F.col("shared"))
+        )
+        .select("id_a", "id_b", "shared", "n_a", "n_b")
+    )
+
+
+# ------------------------------------------------------------- simhash
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document from token xxhash64 bits.
+
+    For each of 64 bit positions, sum +1/-1 votes across the document's
+    distinct tokens (bit set -> +1); sign of the sum is the output bit.
+    Pure builtin expressions: explode tokens -> per-token bit array via
+    shiftright/bitwise-and -> groupBy sum -> pack bits. Near-dup pairs
+    are found by Hamming distance on the signature (bit_count(xor)).
+    No SQL oracle (xxhash64 is Spark-specific); verified against a
+    pure-Python reference in tests.
+    """
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("tok"),
+        )
+        .distinct()
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    votes = toks.select(
+        "id",
+        *[
+            (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{i}")
+            for i in range(64)
+        ],
+    ).groupBy("id").agg(*[F.sum(f"b{i}").alias(f"b{i}") for i in range(64)])
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        sig = sig + F.when(
+            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select("id", sig.alias("simhash"))
+
+
+def simhash_pairs(
+    sigs: DataFrame, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Candidate pairs by banded signature equality (any 16-bit band
+    equal), verified by Hamming distance <= max_hamming."""
+    width = 64 // bands
+    parts = []
+    for b in range(bands):
+        parts.append(
+            sigs.select(
+                "id",
+                F.col("simhash").alias("sig"),
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("bkey"),
+            )
+        )
+    banded = parts[0]
+    for p in parts[1:]:
+        banded = banded.unionByName(p)
+    la = banded.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bkey")
+    lb = banded.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bkey")
+    cand = (
+        la.join(lb, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.withColumn("hamming", ham).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")

@@ -1,0 +1,162 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two tiers:
+- `cosine_topk` — exact brute force: broadcast the (small) query set
+  against the corpus, rank with a window. Correctness baseline; at
+  100 TB this is the per-query-batch path (Q queries x N corpus rows,
+  embarrassingly parallel over corpus partitions, no corpus shuffle —
+  the only shuffle is the final top-k aggregation which carries
+  Q*k rows per partition after the rank pushdown).
+- `lsh_ann_topk` — sign-LSH bucketed approximate path: bucket by the
+  sign pattern of the first `n_bits` coordinates (axis-aligned random
+  hyperplanes; deterministic, engine-reproducible), join query and
+  corpus on bucket, rank within bucket. Corpus is shuffled once on the
+  bucket key; per-bucket candidate sets are ~N/2^n_bits. Recall is
+  tunable via n_bits/multi-probe; exactness is NOT claimed.
+
+Dot products use built-in higher-order functions (zip_with +
+aggregate) — JVM-side, no Python. The reference has no vector ops;
+this is training-pipeline surface (SURVEY.md scope extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def as_double(vec: Column) -> Column:
+    """float32 -> float64 (exact); all scoring runs in double so the
+    arithmetic matches the SQL oracle bit-for-bit (sequential fold in
+    index order on both engines)."""
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, rank), rank 1..k by cosine desc,
+    ties broken by neighbor id (deterministic across engines). Self
+    pairs excluded. `queries` is broadcast — it is the small side by
+    contract (per-batch query sets).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def sign_bucket(vec: Column, n_bits: int = 8) -> Column:
+    """LSH bucket id from the sign bits of the first n_bits coords.
+
+    Axis-aligned hyperplane LSH: bit_i = (vec[i] > 0). For isotropic
+    embeddings this is equivalent to random-hyperplane SimHash up to a
+    fixed rotation, and being coordinate-based it is reproducible in
+    plain SQL (the DuckDB oracle computes the identical bucket).
+    """
+    b = F.lit(0)
+    for i in range(n_bits):
+        b = b + F.when(F.element_at(vec, i + 1) > 0, F.lit(1 << i)).otherwise(0)
+    return b.cast("int")
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_bits: int = 8,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket. Same output shape as cosine_topk. One corpus shuffle on
+    the bucket key; bucket sizes ~N/2^n_bits bound join fan-out."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("_qv"),
+        sign_bucket(F.col(vec_col), n_bits).alias("_bkt"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("_cv"),
+        sign_bucket(F.col(vec_col), n_bits).alias("_bkt"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "_bkt")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_bits: int = 0,
+) -> DataFrame:
+    """Pairs with cosine >= threshold. n_bits=0 -> exact all-pairs
+    (test scale); n_bits>0 -> LSH-bucketed candidates (corpus scale,
+    same-bucket pairs only)."""
+    a = df.select(F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("_vb"))
+    if n_bits:
+        a = a.withColumn("_bkt", sign_bucket(F.col("_va"), n_bits))
+        b = b.withColumn("_bkt", sign_bucket(F.col("_vb"), n_bits))
+        pairs = a.join(b, "_bkt")
+    else:
+        pairs = a.crossJoin(b)
+    return (
+        pairs.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("score", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", F.round("score", 4).alias("score_r4"))
+    )
