@@ -21,3 +21,9 @@ class EngineConfig:
     # partial aggregation already collapses per-key rows map-side)
     salt_buckets: int = 0
     normalize_text_col: bool = True
+    # "mor" (merge-on-read, O(batch) write cost per micro-batch) or
+    # "cow" (copy-on-write, read-optimized; O(touched buckets) rewrite)
+    write_mode: str = "mor"
+    # merge-on-read file-count bound: compact buckets whose live file
+    # count exceeds this (0 = never; run as external maintenance)
+    compact_max_files_per_bucket: int = 0

@@ -29,23 +29,33 @@ from etl_spark.config import EngineConfig
 from etl_spark.engine import lineage
 from etl_spark.engine.normalize import normalize_text
 from etl_spark.engine.resolve import resolve_max_lsn
+from etl_spark.engine.skew import salted_repartition
 from etl_spark.lake.merge import merge_into
 from etl_spark.lake.table import LakeTable, spark_type
 
 
 def parse_events(
-    df: DataFrame, ops: list[SchemaOp], target_version: int
+    df: DataFrame,
+    ops: list[SchemaOp],
+    target_version: int,
+    versions: list[int] | None = None,
 ) -> DataFrame:
     """Decode the JSON payload by each event's schema_version and
     project every event onto the `target_version` schema, mapping
     payload fields to target columns by stable field ID (rename-safe)
     and casting widened types (epoch-sec long -> timestamp; ISO string
-    -> timestamp). Pure JVM expressions (from_json + casts)."""
+    -> timestamp). Pure JVM expressions (from_json + casts).
+
+    `versions` prunes the union to the schema versions actually
+    present in the batch (steady state = one version = one branch,
+    no union, single scan)."""
+    if versions is None:
+        versions = list(range(BASE_VERSION, target_version + 1))
     target = [f for f in fields_at_version(ops, target_version) if f.name not in KEY]
     target_by_id = {f.id: f for f in target}
 
     branches = []
-    for v in range(BASE_VERSION, target_version + 1):
+    for v in versions:
         pf = payload_fields(ops, v)
         pstruct = T.StructType(
             [T.StructField(f.name, spark_type(f.type), True) for f in pf]
@@ -117,6 +127,7 @@ def apply_batch(
         F.max("lsn").alias("max_lsn"),
         F.count("*").alias("events_in"),
         F.count_distinct("lsn").alias("events_distinct"),
+        F.collect_set("schema_version").alias("versions"),
     ).collect()[0]
     if stats_row["events_in"] == 0:
         return
@@ -125,10 +136,22 @@ def apply_batch(
     # 1. schema evolution due at this LSN horizon (metadata-only commits)
     target_version = evolve_due_ops(table, ops, max_lsn)
 
-    # 2. parse by version -> current schema (JVM from_json + casts)
-    parsed = parse_events(batch_df, ops, target_version)
+    # 2. spread the batch across the cluster BEFORE the narrow parse/
+    #    normalize stages: a micro-batch arrives as few source files
+    #    (often one row-group each, unsplittable), so without this the
+    #    map side runs on #files tasks regardless of cores. Salted on
+    #    conv_id so one hot conversation spreads over multiple tasks.
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    batch_df = salted_repartition(batch_df, "conv_id", width, salt=8)
 
-    # 3. vectorized text normalization (Arrow pandas UDF; D rows keep null)
+    # 3. parse by version -> current schema (JVM from_json + casts);
+    #    only the versions present in the batch are unioned (steady
+    #    state: exactly one branch, one scan)
+    parsed = parse_events(
+        batch_df, ops, target_version, versions=sorted(stats_row["versions"])
+    )
+
+    # 4. vectorized text normalization (Arrow pandas UDF; D rows keep null)
     if cfg.normalize_text_col:
         text_col = next(
             (f.name for f in fields_at_version(ops, target_version) if f.id == 4),
@@ -137,23 +160,35 @@ def apply_batch(
         if text_col is not None:
             parsed = parsed.withColumn(text_col, normalize_text(F.col(text_col)))
 
-    # 4. exact-duplicate drop (at-least-once re-emits) then max-LSN
-    #    resolution per key (out-of-order within the batch)
-    deduped = parsed.dropDuplicates(KEY + ["lsn"])
+    # 5. max-LSN resolution per key (out-of-order within the batch).
+    #    Exact-duplicate re-emits (same key AND lsn) carry identical
+    #    payloads by construction, so max_by collapses them too — no
+    #    separate dropDuplicates shuffle needed.
     resolved = resolve_max_lsn(
-        deduped.drop("op_ts"), KEY, salt_buckets=cfg.salt_buckets
+        parsed.drop("op_ts"), KEY, salt_buckets=cfg.salt_buckets
     )
+    # One materialization serves the merge (bucket discovery + join +
+    # CoW write) and the lineage rollup; without it the whole parse/
+    # normalize/shuffle pipeline re-runs per consumer.
+    resolved = resolved.persist()
 
-    # 5. MERGE into the lake (bucket-pruned CoW; atomic ledgered commit)
-    stats = {
-        "min_lsn": int(stats_row["min_lsn"]),
-        "max_lsn": max_lsn,
-        "events_in": int(stats_row["events_in"]),
-        "events_distinct": int(stats_row["events_distinct"]),
-    }
-    version = merge_into(table, resolved, batch_key=batch_key, batch_stats=stats)
+    try:
+        # 6. MERGE into the lake (bucket-pruned CoW; atomic ledgered commit)
+        stats = {
+            "min_lsn": int(stats_row["min_lsn"]),
+            "max_lsn": max_lsn,
+            "events_in": int(stats_row["events_in"]),
+            "events_distinct": int(stats_row["events_distinct"]),
+        }
+        version = merge_into(table, resolved, batch_key=batch_key, batch_stats=stats)
 
-    # 6. per-partition lineage manifest (idempotent per batch_id)
-    lineage.write_batch_manifest(
-        spark, cfg.manifest_dir, table, resolved, batch_id, stats, version
-    )
+        # 7. per-partition lineage manifest (idempotent per batch_id)
+        lineage.write_batch_manifest(
+            spark, cfg.manifest_dir, table, resolved, batch_id, stats, version
+        )
+
+        # 8. merge-on-read maintenance: bound per-bucket file counts
+        if cfg.compact_max_files_per_bucket:
+            table.compact(cfg.compact_max_files_per_bucket)
+    finally:
+        resolved.unpersist()

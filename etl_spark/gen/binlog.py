@@ -73,6 +73,16 @@ def _text(rng: np.random.Generator, lo: int = 5, hi: int = 40) -> str:
     return " ".join(VOCAB[i] for i in rng.integers(0, len(VOCAB), n))
 
 
+def _text_pool(rng: np.random.Generator, size: int, messy: bool) -> list[str]:
+    """Pre-generated distinct texts; per-row text is a vectorized pool
+    pick (per-row scalar RNG calls are the generation bottleneck at
+    bench scale: 10^6+ events)."""
+    pool = [_text(rng) for _ in range(size)]
+    if messy:
+        pool = [_mess(rng, t) for t in pool]
+    return pool
+
+
 def _mess(rng: np.random.Generator, s: str) -> str:
     """Denormalize: random double spaces / tabs / NFD 'é' — the
     normalization UDF must map it back to canonical form."""
@@ -91,29 +101,33 @@ def _mess(rng: np.random.Generator, s: str) -> str:
 
 
 def gen_base(cfg: GenConfig) -> pd.DataFrame:
-    """Initial transcripts state (already in normalized text form)."""
+    """Initial transcripts state (already in normalized text form).
+    Fully vectorized (numpy draws + pool texts) so multi-100k-row base
+    states generate in seconds."""
     rng = np.random.default_rng(cfg.seed)
-    rows = []
-    for i in range(cfg.n_convs):
-        conv = f"conv-{i:08d}"
-        n_turns = int(rng.integers(1, cfg.max_turns + 1))
-        for t in range(n_turns):
-            role = ROLES[(t + int(rng.integers(0, 2))) % 3]
-            rows.append(
-                dict(
-                    conv_id=conv,
-                    turn_idx=t,
-                    role=role,
-                    text=_text(rng),
-                    tool=str(np.random.default_rng((cfg.seed, i, t)).choice(TOOLS))
-                    if role == "tool"
-                    else None,
-                    ts=int((BASE_EPOCH - pd.Timestamp(0)).total_seconds()) + t,
-                )
-            )
-    df = pd.DataFrame(rows)
-    df["turn_idx"] = df["turn_idx"].astype("int32")
-    df["ts"] = df["ts"].astype("int64")
+    n_turns = rng.integers(1, cfg.max_turns + 1, size=cfg.n_convs)
+    total = int(n_turns.sum())
+    conv_idx = np.repeat(np.arange(cfg.n_convs), n_turns)
+    turn = np.concatenate([np.arange(k) for k in n_turns]) if total else np.array([], dtype=int)
+    jitter = rng.integers(0, 2, size=total)
+    role_idx = (turn + jitter) % 3
+    pool = _text_pool(rng, min(max(64, total), 20000), messy=False)
+    text_idx = rng.integers(0, len(pool), size=total)
+    tool_idx = rng.integers(0, len(TOOLS), size=total)
+    epoch0 = int((BASE_EPOCH - pd.Timestamp(0)).total_seconds())
+    df = pd.DataFrame(
+        {
+            "conv_id": [f"conv-{i:08d}" for i in conv_idx],
+            "turn_idx": turn.astype("int32"),
+            "role": [ROLES[r] for r in role_idx],
+            "text": [pool[i] for i in text_idx],
+            "tool": [
+                TOOLS[ti] if ROLES[r] == "tool" else None
+                for r, ti in zip(role_idx, tool_idx)
+            ],
+            "ts": (epoch0 + turn).astype("int64"),
+        }
+    )
     return df
 
 
@@ -130,43 +144,67 @@ def gen_binlog(
     the payload JSON (long epoch-sec pre-widen, ISO string post-widen)."""
     rng = np.random.default_rng(cfg.seed + 1)
     convs = sorted(base["conv_id"].unique().tolist())
-    # live-turn mirror + next fresh turn index per conversation
-    live: dict[str, set] = {
-        c: set(base.loc[base.conv_id == c, "turn_idx"].tolist()) for c in convs
-    }
+    # live-turn mirror (list + position map for O(1) random pick and
+    # swap-pop removal — keeps generation O(n_events) at bench scale)
+    live: dict[str, list[int]] = {c: [] for c in convs}
+    live_pos: dict[str, dict[int, int]] = {c: {} for c in convs}
+    for c, t in zip(base["conv_id"].tolist(), base["turn_idx"].tolist()):
+        live_pos[c][int(t)] = len(live[c])
+        live[c].append(int(t))
     next_turn = {c: (max(v) + 1 if v else 0) for c, v in live.items()}
-    # Zipf-ish conversation weights (hot keys)
+    # Zipf-ish conversation weights (hot keys); conv picks pre-drawn
+    # vectorized (per-event choice with p= is O(n_convs) each)
     w = 1.0 / np.arange(1, len(convs) + 1) ** cfg.zipf_alpha
     w /= w.sum()
+    conv_picks = rng.choice(len(convs), size=cfg.n_events, p=w)
+    op_draws = rng.random(cfg.n_events)
+    role_picks = rng.integers(0, 3, size=cfg.n_events)
+    tool_picks = rng.integers(0, len(TOOLS), size=cfg.n_events)
+    lang_picks = rng.integers(0, 3, size=cfg.n_events)
+    pool = _text_pool(
+        rng, min(max(64, cfg.n_events), 20000), messy=cfg.messy_text
+    )
+    text_picks = rng.integers(0, len(pool), size=cfg.n_events)
+
+    def _pick_live(conv: str) -> int:
+        lst = live[conv]
+        return lst[int(rng.integers(0, len(lst)))]
+
+    def _remove_live(conv: str, turn: int) -> None:
+        lst, pos = live[conv], live_pos[conv]
+        i = pos.pop(turn)
+        last = lst.pop()
+        if last != turn:
+            lst[i] = last
+            pos[last] = i
 
     events = []
     for lsn in range(1, cfg.n_events + 1):
-        conv = convs[int(rng.choice(len(convs), p=w))]
+        conv = convs[int(conv_picks[lsn - 1])]
         has_rows = bool(live[conv])
-        r = rng.random()
+        r = op_draws[lsn - 1]
         if not has_rows or r < cfg.p_insert:
             op, turn = "I", next_turn[conv]
             next_turn[conv] += 1
-            live[conv].add(turn)
+            live_pos[conv][turn] = len(live[conv])
+            live[conv].append(turn)
         elif r < cfg.p_insert + cfg.p_update:
-            op, turn = "U", int(rng.choice(sorted(live[conv])))
+            op, turn = "U", _pick_live(conv)
         else:
-            op, turn = "D", int(rng.choice(sorted(live[conv])))
-            live[conv].discard(turn)
+            op, turn = "D", _pick_live(conv)
+            _remove_live(conv, turn)
         version = version_at_lsn(ops, lsn)
         payload = None
         if op != "D":
-            role = ROLES[int(rng.integers(0, 3))]
-            text = _text(rng)
-            if cfg.messy_text:
-                text = _mess(rng, text)
+            role = ROLES[int(role_picks[lsn - 1])]
+            text = pool[int(text_picks[lsn - 1])]
             ts_sec = int((BASE_EPOCH - pd.Timestamp(0)).total_seconds()) + 10_000 + lsn
             vals = {
                 "role": role,
                 "text": text,
-                "tool": str(rng.choice(TOOLS)) if role == "tool" else None,
+                "tool": TOOLS[int(tool_picks[lsn - 1])] if role == "tool" else None,
                 "ts": ts_sec,
-                "lang": str(rng.choice(["en", "es", "zh"])),
+                "lang": ["en", "es", "zh"][int(lang_picks[lsn - 1])],
             }
             fields = payload_fields(ops, version)
             doc = {}
@@ -198,10 +236,15 @@ def gen_binlog(
         seg = events[s0 : s0 + cfg.segment_size]
         n_dup = int(cfg.dup_rate * len(seg))
         if n_dup:
+            # re-emit each chosen event at a later position; built via
+            # one keyed sort (repeated list insertion is O(seg^2))
             idxs = rng.choice(len(seg), size=n_dup, replace=False)
-            for i in sorted(idxs):
+            keyed = [(float(j), e) for j, e in enumerate(seg)]
+            for rank, i in enumerate(sorted(idxs)):
                 pos = int(rng.integers(i, len(seg)))
-                seg = seg[: pos + 1] + [dict(seg[i])] + seg[pos + 1 :]
+                keyed.append((pos + 0.5 + 1e-9 * rank, dict(seg[i])))
+            keyed.sort(key=lambda kv: kv[0])
+            seg = [e for _, e in keyed]
         if cfg.disorder_window > 1:
             keys = np.arange(len(seg)) + rng.uniform(0, cfg.disorder_window, len(seg))
             seg = [seg[i] for i in np.argsort(keys, kind="stable")]
@@ -244,7 +287,8 @@ def write_segments(
         # micros on disk: Spark's vectorized reader rejects pandas'
         # default nanosecond timestamps
         tbl = pa.Table.from_pandas(seg, preserve_index=False)
-        pq.write_table(tbl, p, coerce_timestamps="us", allow_truncated_timestamps=True)
+        pq.write_table(tbl, p, coerce_timestamps="us", allow_truncated_timestamps=True,
+                       row_group_size=20_000)
         paths.append(p)
     return paths
 

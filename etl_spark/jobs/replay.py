@@ -1,0 +1,164 @@
+"""spark-submit entry point: bounded CDC replay of a binlog into the
+lake table, parameterized by parallelism for scaling evidence.
+
+Cluster form (north rule):
+    spark-submit --py-files etl_spark.zip -m etl_spark.jobs.replay ...
+Sandbox form (two "cluster sizes" = two local parallelism levels on
+identical input):
+    python -m etl_spark.jobs.replay --work-dir /tmp/b --n-events 200000 \
+        --parallelism 8
+    python -m etl_spark.jobs.replay --work-dir /tmp/b --n-events 200000 \
+        --parallelism 32
+
+The binlog segments and base state are generated once per (seed,
+n-events) into `work-dir` and reused byte-identical across runs; each
+run replays into a fresh table/checkpoint so parallelism is the only
+variable. Output: one JSON line with wall times, events/sec, final
+row count and an order-insensitive state checksum (must be identical
+across parallelism levels — asserted by scripts/bench_scaling.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import functions as F
+
+
+def ensure_corpus(work_dir: str, seed: int, n_events: int, segment_size: int):
+    """Generate (or reuse) the deterministic binlog corpus."""
+    from etl_spark.gen.binlog import (
+        GenConfig, gen_base, gen_binlog, gen_schema_ops, write_segments,
+    )
+
+    tag = f"seed{seed}_n{n_events}_seg{segment_size}"
+    root = os.path.join(work_dir, f"corpus_{tag}")
+    seg_dir = os.path.join(root, "segments")
+    base_path = os.path.join(root, "base.parquet")
+    g = GenConfig(
+        seed=seed,
+        n_convs=max(10, n_events // 10),
+        max_turns=6,
+        n_events=n_events,
+        segment_size=segment_size,
+        dup_rate=0.03,
+        disorder_window=16,
+        schema_op_fracs=(0.25, 0.5, 0.75),
+    )
+    if not os.path.exists(os.path.join(root, "_DONE")):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        base = gen_base(g)
+        ops = gen_schema_ops(g)
+        binlog = gen_binlog(g, base, ops)
+        write_segments(binlog, seg_dir)
+        base.to_parquet(base_path, index=False)
+        with open(os.path.join(root, "_DONE"), "w") as fh:
+            fh.write(tag)
+    from etl_spark.gen.binlog import gen_schema_ops as _gso  # stable ops
+
+    return seg_dir, base_path, _gso(g)
+
+
+def run(args) -> dict:
+    import pandas as pd
+
+    from etl_spark.config import EngineConfig
+    from etl_spark.engine import lineage
+    from etl_spark.lake.table import LakeTable
+    from etl_spark.pipeline import bootstrap, replay
+    from etl_spark.session import get_spark
+
+    seg_dir, base_path, ops = ensure_corpus(
+        args.work_dir, args.seed, args.n_events, args.segment_size
+    )
+
+    run_dir = os.path.join(args.work_dir, f"run_p{args.parallelism}")
+    shutil.rmtree(run_dir, ignore_errors=True)
+    cfg = EngineConfig(
+        table_root=os.path.join(run_dir, "tbl"),
+        manifest_dir=os.path.join(run_dir, "manifest"),
+        checkpoint_dir=os.path.join(run_dir, "ckpt"),
+        num_buckets=args.num_buckets,
+        max_files_per_trigger=args.max_files_per_trigger,
+    )
+    spark = get_spark(
+        f"cdc_replay_p{args.parallelism}",
+        parallelism=args.parallelism,
+        shuffle_partitions=args.parallelism,
+    )
+
+    t_w = time.time()
+    if getattr(args, "warmup", True):
+        # one tiny replay through the identical code path first: JVM
+        # JIT + whole-stage-codegen compilation + Python worker pool
+        # startup are one-off per-process costs a long-lived cluster
+        # job amortizes to zero; the timed run measures steady state.
+        wseg, wbase, wops = ensure_corpus(args.work_dir, 7, 2000, 1000)
+        wcfg = EngineConfig(
+            table_root=os.path.join(run_dir, "warmup", "tbl"),
+            manifest_dir=os.path.join(run_dir, "warmup", "manifest"),
+            checkpoint_dir=os.path.join(run_dir, "warmup", "ckpt"),
+            num_buckets=args.num_buckets,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+        bootstrap(spark, wcfg, pd.read_parquet(wbase))
+        replay(spark, wcfg, wseg, wops)
+    t_warm = time.time() - t_w
+
+    t0 = time.time()
+    bootstrap(spark, cfg, pd.read_parquet(base_path))
+    t_boot = time.time() - t0
+
+    t1 = time.time()
+    replay(spark, cfg, seg_dir, ops)
+    t_replay = time.time() - t1
+
+    table = LakeTable(spark, cfg.table_root)
+    final = table.read()
+    canon = F.concat_ws(
+        "\x1f", *[F.col(c).cast("string") for c in sorted(final.columns)]
+    )
+    stats = final.agg(
+        F.count("*").alias("rows"), F.sum(F.crc32(canon)).alias("checksum")
+    ).collect()[0]
+    lin = lineage.check_invariants(spark, cfg.manifest_dir)
+
+    out = {
+        "job": "cdc_replay",
+        "parallelism": args.parallelism,
+        "n_events": args.n_events,
+        "events_distinct": lin["events_distinct_total"],
+        "batches": lin["batches"],
+        "warmup_s": round(t_warm, 2),
+        "bootstrap_s": round(t_boot, 2),
+        "replay_s": round(t_replay, 2),
+        "events_per_sec": round(lin["events_distinct_total"] / t_replay, 1),
+        "final_rows": int(stats["rows"]),
+        "state_checksum": int(stats["checksum"]),
+    }
+    if args.stop_session:
+        spark.stop()
+    return out
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--work-dir", required=True)
+    p.add_argument("--n-events", type=int, default=200_000)
+    p.add_argument("--segment-size", type=int, default=25_000)
+    p.add_argument("--parallelism", type=int, default=32)
+    p.add_argument("--num-buckets", type=int, default=32)
+    p.add_argument("--max-files-per-trigger", type=int, default=4)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--stop-session", action="store_true", default=True)
+    p.add_argument("--no-warmup", dest="warmup", action="store_false", default=True)
+    print(json.dumps(run(p.parse_args())))
+
+
+if __name__ == "__main__":
+    main()

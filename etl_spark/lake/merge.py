@@ -37,13 +37,32 @@ def merge_into(
     batch_stats: dict | None = None,
 ) -> int:
     """Apply a resolved change set to `table`. Returns new version
-    (or current version unchanged if `batch_key` already committed)."""
+    (or current version unchanged if `batch_key` already committed).
+
+    Dispatches on the table's write mode: copy-on-write joins and
+    rewrites the touched buckets (below); merge-on-read appends the
+    change set as delta files — O(batch) write cost — with the LSN
+    contest deferred to scan/compaction (`LakeTable._resolve_versions`).
+    """
     m = table.manifest()
     if batch_key is not None and batch_key in m.committed_batches:
         return m.version
 
     key = m.key
     payload_cols = [f.name for f in m.schema.fields if f.name not in key]
+
+    if table.write_mode(m) == "mor":
+        is_del = F.col(OP_COL) == F.lit("D")
+        delta = source.select(
+            *[F.col(k) for k in key],
+            *[
+                F.when(is_del, F.lit(None)).otherwise(F.col(c)).alias(c)
+                for c in payload_cols
+            ],
+            F.col(LSN_COL).alias(SYS_LSN),
+            is_del.alias(SYS_DELETED),
+        ).withColumn(BUCKET_COL, table.bucket_expr(m))
+        return table.append_files(delta, batch_key=batch_key, batch_stats=batch_stats)
 
     src = source.withColumn(BUCKET_COL, table.bucket_expr(m))
     # Bounded driver transfer: one int per touched bucket (<= num_buckets).

@@ -229,7 +229,19 @@ class LakeTable:
         key: list[str],
         bucket_by: str,
         num_buckets: int = 32,
+        write_mode: str = "cow",
     ) -> "LakeTable":
+        """write_mode:
+        - "cow": MERGE rewrites touched buckets (read-optimized; one
+          file set, unique keys on disk) — Iceberg copy-on-write.
+        - "mor": MERGE appends resolved delta files; the max-LSN
+          winner per key is resolved at scan and collapsed by
+          compaction — Iceberg v2 merge-on-read. Per-batch write cost
+          scales with batch size instead of table size, which is the
+          difference between O(batch) and O(table) write amplification
+          on a high-churn CDC stream.
+        """
+        assert write_mode in ("cow", "mor")
         t = cls(spark, root)
         os.makedirs(t._meta_dir, exist_ok=False)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
@@ -243,9 +255,14 @@ class LakeTable:
             schemas={0: schema},
             files=[],
             committed_batches={},
+            props={"write_mode": write_mode},
         )
         t._commit_manifest(m)
         return t
+
+    def write_mode(self, m: Manifest | None = None) -> str:
+        m = m or self.manifest()
+        return m.props.get("write_mode", "cow")
 
     @classmethod
     def exists(cls, root: str) -> bool:
@@ -286,19 +303,34 @@ class LakeTable:
             out = df if out is None else out.unionByName(df)
         return out
 
+    def _resolve_versions(self, df: DataFrame, m: Manifest) -> DataFrame:
+        """Merge-on-read resolution: one row per key — the max-LSN
+        version across base + delta files (hash aggregation with
+        map-side partial combine; ties are identical re-emits)."""
+        others = [c for c in df.columns if c not in m.key]
+        packed = F.struct(*[F.col(c) for c in others]).alias("_row")
+        return (
+            df.groupBy(*m.key)
+            .agg(F.max_by(packed, F.col(SYS_LSN)).alias("_row"))
+            .select(*m.key, "_row.*")
+        )
+
     def read(
         self,
         buckets: list[int] | None = None,
         include_system: bool = False,
         version: int | None = None,
     ) -> DataFrame:
-        """Scan live rows (tombstones filtered). `buckets` prunes the
-        file list — the partition-pruning path MERGE relies on."""
+        """Scan live rows (max-LSN resolved under merge-on-read,
+        tombstones filtered). `buckets` prunes the file list — the
+        partition-pruning path MERGE relies on."""
         m = self.manifest(version)
         files = m.files if buckets is None else [f for f in m.files if f.bucket in set(buckets)]
         df = self._read_files(m, files)
         if df is None:
             df = self.spark.createDataFrame([], m.schema.struct(with_system=True))
+        elif self.write_mode(m) == "mor":
+            df = self._resolve_versions(df, m)
         df = df.filter(~F.coalesce(F.col(SYS_DELETED), F.lit(False)))
         if not include_system:
             df = df.drop(SYS_LSN, SYS_DELETED)
@@ -395,6 +427,38 @@ class LakeTable:
         self._commit_manifest(m2)
         return new_version
 
+    def append_files(
+        self,
+        df: DataFrame,
+        batch_key: str | None = None,
+        batch_stats: dict | None = None,
+    ) -> int:
+        """Merge-on-read commit: stage `df` (BUCKET_COL + physical
+        schema + system columns) as new delta files; existing files
+        untouched. The max-LSN winner is resolved at read/compaction."""
+        m = self.manifest()
+        if batch_key is not None and batch_key in m.committed_batches:
+            return m.version
+        new_version = m.version + 1
+        staged = self._stage_dataframe(df, m, new_version)
+        batches = dict(m.committed_batches)
+        if batch_key is not None:
+            batches[batch_key] = batch_stats or {}
+        m2 = Manifest(
+            version=new_version,
+            num_buckets=m.num_buckets,
+            key=m.key,
+            bucket_by=m.bucket_by,
+            schema=m.schema,
+            schemas=m.schemas,
+            files=m.files + staged,
+            committed_batches=batches,
+            parent=m.version,
+            props=m.props,
+        )
+        self._commit_manifest(m2)
+        return new_version
+
     def append_full(self, df: DataFrame, batch_key: str | None = None) -> int:
         """Bulk load `df` (logical columns only; lsn defaults to 0) by
         full overwrite — used to seed the base table."""
@@ -480,5 +544,10 @@ class LakeTable:
         todo = [b for b, n in per_bucket.items() if n > max_files_per_bucket]
         if not todo:
             return m.version
-        df = self.read_raw(buckets=todo).withColumn(BUCKET_COL, self.bucket_expr(m))
+        df = self.read_raw(buckets=todo)
+        if self.write_mode(m) == "mor":
+            # collapse delta versions; tombstone winners are KEPT so
+            # later-arriving stale events with lower LSN stay dead
+            df = self._resolve_versions(df, m)
+        df = df.withColumn(BUCKET_COL, self.bucket_expr(m))
         return self.overwrite_buckets(df, todo)

@@ -23,6 +23,7 @@ def bootstrap(
         key=KEY,
         bucket_by=BUCKET_BY,
         num_buckets=cfg.num_buckets,
+        write_mode=cfg.write_mode,
     )
     if base is not None and len(base):
         sdf = spark.createDataFrame(base)

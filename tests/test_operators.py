@@ -1,0 +1,173 @@
+"""Unit tests for the training-data-pipeline operators (dedup,
+similarity, text functions, multimodal plumbing) against small
+hand-checkable inputs and pure-Python references."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from etl_spark.functions import text as TX
+from etl_spark.operators import dedup as DD, multimodal as MM, similarity as SIM
+
+DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "the cat sat on the mat"),            # exact dup of 1
+    (3, "the cat sat on the red mat"),        # near dup of 1
+    (4, "completely different words entirely here now"),
+    (5, "el gato es un animal que vive en la casa"),
+    (6, "短い中文テキスト 一二三"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark, docs):
+    groups = {r["keeper_id"]: r["n_dups"] for r in DD.exact_dedup_groups(docs, "doc_id", "text").collect()}
+    assert groups[1] == 2  # docs 1,2 collapse; keeper is min id
+    assert sum(groups.values()) == len(DOCS)
+    kept = sorted(r["doc_id"] for r in DD.exact_dedup(docs, "doc_id", "text").collect())
+    assert kept == [1, 3, 4, 5, 6]
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "only two")], ["doc_id", "text"])
+    sh = DD.shingles(df, "doc_id", "text", n=3).collect()
+    assert [(r["id"], r["shingle"]) for r in sh] == [(1, "only two")]
+
+
+def _py_jaccard(a: str, b: str, n: int = 3) -> float:
+    def sh(t):
+        toks = t.lower().split()
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    rows = DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]): r["shared"] / (r["n_a"] + r["n_b"] - r["shared"]) for r in rows}
+    # expected from the pure-python reference
+    exp = {}
+    for i, (ia, ta) in enumerate(DOCS):
+        for ib, tb in DOCS[i + 1:]:
+            j = _py_jaccard(ta, tb)
+            if j >= 0.5:
+                exp[(ia, ib)] = j
+    assert set(got) == set(exp)
+    for k in got:
+        assert abs(got[k] - exp[k]) < 1e-9
+
+
+def test_minhash_lsh_finds_exact_and_near(spark, docs):
+    rows = DD.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in rows}
+    assert (1, 2) in pairs  # exact dup always collides in every band
+    # LSH candidates are a subset of true-threshold pairs after verify
+    full = {(r["id_a"], r["id_b"]) for r in DD.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()}
+    assert pairs <= full
+
+
+def _py_simhash(text: str, hash64) -> int:
+    votes = [0] * 64
+    for tok in set(TX_norm(text).split()):
+        h = hash64(tok)
+        for i in range(64):
+            votes[i] += 1 if (h >> i) & 1 else -1
+    sig = 0
+    for i in range(64):
+        if votes[i] > 0:
+            sig |= 1 << i
+    return sig
+
+
+def TX_norm(s: str) -> str:
+    return " ".join(s.lower().split())
+
+
+def test_simhash_matches_python_reference(spark, docs):
+    sigs = {r["id"]: r["simhash"] for r in DD.simhash64(docs, "doc_id", "text").collect()}
+    # xxhash64 via Spark itself (same seed/impl), one token per row
+    toks = sorted({t for _, txt in DOCS for t in TX_norm(txt).split()})
+    tdf = spark.createDataFrame([(t,) for t in toks], ["tok"])
+    hmap = {r["tok"]: r["h"] for r in tdf.withColumn("h", F.xxhash64("tok")).collect()}
+    for doc_id, txt in DOCS:
+        exp = _py_simhash(txt, lambda t: hmap[t] & 0xFFFFFFFFFFFFFFFF)
+        assert sigs[doc_id] & 0xFFFFFFFFFFFFFFFF == exp, doc_id
+    # identical docs -> identical sigs -> hamming 0 pair found
+    pairs = DD.simhash_pairs(
+        spark.createDataFrame([(k, v) for k, v in sigs.items()], ["id", "simhash"]),
+        max_hamming=3,
+    ).collect()
+    assert any(r["id_a"] == 1 and r["id_b"] == 2 and r["hamming"] == 0 for r in pairs)
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(20, 8)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+        "vec_id: long, embedding: array<float>",
+    )
+    out = SIM.cosine_topk(df, df.filter(F.col("vec_id") < 3), k=4).collect()
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in out}
+    v = vecs.astype("float64")
+    norms = np.linalg.norm(v, axis=1)
+    for q in range(3):
+        scores = (v @ v[q]) / (norms * norms[q])
+        order = sorted((i for i in range(20) if i != q), key=lambda i: (-scores[i], i))
+        for rank, i in enumerate(order[:4], start=1):
+            assert got[(q, rank)] == i
+
+
+def test_lsh_ann_subset_of_bucket(spark):
+    rng = np.random.default_rng(1)
+    vecs = rng.normal(size=(50, 16)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id: long, embedding: array<float>",
+    )
+    out = SIM.lsh_ann_topk(df, df.filter(F.col("vec_id") < 5), k=3, n_bits=4).collect()
+    buckets = {i: sum((1 << b) for b in range(4) if vecs[i][b] > 0) for i in range(50)}
+    for r in out:
+        assert buckets[r["query_id"]] == buckets[r["neighbor_id"]]
+        assert r["neighbor_id"] != r["query_id"]
+
+
+def test_lang_id_heuristic(spark, docs):
+    pred = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", TX.lang_id(F.col("text")).alias("lang")).collect()}
+    assert pred[1] == "en"
+    assert pred[5] == "es"
+    assert pred[6] == "zh"
+    assert pred[4] == "und"  # no stopwords from either list
+
+
+def test_multimodal_decode_plumbing(spark, docs):
+    media = MM.media_from_text(docs, "doc_id", "text")
+    feats = MM.decode_features(media, dim=8, fake=True).collect()
+    assert len(feats) == len(DOCS)
+    by_id = {r["media_id"]: r for r in feats}
+    for doc_id, txt in DOCS:
+        r = by_id[doc_id]
+        assert len(r["feature"]) == 8
+        exp = MM._fake_feature(txt.encode(), 8)
+        assert [round(float(x), 6) for x in r["feature"]] == [round(x, 6) for x in exp]
+        assert r["n_bytes"] == len(txt.encode())
+    # sha256 metadata matches hashlib
+    metas = {r["media_id"]: r["sha256"] for r in media.collect()}
+    for doc_id, txt in DOCS:
+        assert metas[doc_id] == hashlib.sha256(txt.encode()).hexdigest()
+
+
+def test_decode_features_real_codec_is_stubbed(spark, docs):
+    media = MM.media_from_text(docs, "doc_id", "text")
+    with pytest.raises(Exception):  # NotImplementedError inside the worker
+        MM.decode_features(media, fake=False).collect()
