@@ -12,9 +12,17 @@ class EngineConfig:
     manifest_dir: str  # lineage manifest table (parquet)
     checkpoint_dir: str
     num_buckets: int = 32
-    # watermark horizon for cross-batch duplicate suppression
+    # Optional cross-batch duplicate suppression via
+    # dropDuplicatesWithinWatermark state. OFF by default: correctness
+    # never depends on it — in-batch duplicates collapse in the
+    # max-LSN resolve, and cross-batch re-delivery is annihilated by
+    # the committed-batch ledger plus the MERGE LSN-monotonicity
+    # guard. At 10^10 events, (key, lsn) dedup state is also a state-
+    # size liability; it costs one extra stateful shuffle per batch.
+    # Turn on only when the source can re-emit events across segment
+    # boundaries AND downstream must not see them even transiently.
     watermark: str = "10 minutes"
-    use_watermark_dedup: bool = True
+    use_watermark_dedup: bool = False
     # files per micro-batch for the streaming file source
     max_files_per_trigger: int = 4
     # salt buckets for extreme single-key skew in resolve (0 = off;

@@ -306,6 +306,135 @@ FROM events
 """
 
 
+def q_src_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: JSON-lines source scan. Documents are round-tripped to
+    JSON by Spark itself, then read back through the JSON reader with
+    an explicit schema — the oracle sees only the original parquet."""
+    docs = _t(spark, sf_dir, "documents")
+    path = _tmp("jsonsrc")
+    docs.select("doc_id", "text", "lang").coalesce(2).write.mode(
+        "overwrite"
+    ).json(path)
+    schema = "doc_id bigint, text string, lang string"
+    return spark.read.schema(schema).json(path).select("doc_id", "text", "lang")
+
+
+SQL_SRC_JSON = "SELECT doc_id, text, lang FROM documents"
+
+
+def q_src_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: CSV source scan with header (free-text column excluded —
+    CSV is not round-trip-safe for arbitrary text)."""
+    docs = _t(spark, sf_dir, "documents")
+    path = _tmp("csvsrc")
+    docs.select("doc_id", "lang", "source", "n_chars").coalesce(2).write.mode(
+        "overwrite"
+    ).option("header", True).csv(path)
+    schema = "doc_id bigint, lang string, source string, n_chars bigint"
+    return (
+        spark.read.schema(schema).option("header", True).csv(path)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+SQL_SRC_CSV = "SELECT doc_id, lang, source, n_chars FROM documents"
+
+
+def q_fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: timestamp formatting/extraction functions."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("day_str"),
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+    )
+
+
+SQL_FN_DATETIME = """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d') AS day_str,
+       CAST(year(ts) AS INTEGER) AS y,
+       CAST(month(ts) AS INTEGER) AS m,
+       CAST(day(ts) AS INTEGER) AS d,
+       CAST(hour(ts) AS INTEGER) AS h
+FROM events
+"""
+
+
+def q_nested_struct_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/P10: struct construction then dot-path access (the
+    networkToken flatten/rebuild pattern, spark.py:192-198 /
+    infra/spark/spark_job.py:26-35)."""
+    cust = _t(spark, sf_dir, "customer")
+    nested = cust.select(
+        "c_custkey",
+        F.struct(
+            F.col("c_name").alias("name"),
+            F.col("c_nationkey").alias("nation"),
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+        ).alias("profile"),
+    )
+    return nested.select(
+        "c_custkey",
+        F.col("profile.name").alias("name"),
+        F.col("profile.nation").alias("nation"),
+        F.col("profile.bal_cents").alias("bal_cents"),
+    )
+
+
+SQL_NESTED_STRUCT = """
+SELECT c_custkey, c_name AS name, c_nationkey AS nation,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+FROM customer
+"""
+
+
+def q_array_indexing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: array element access (topics[0..3] pattern, spark.py:572-575)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.element_at("embedding", 1).alias("e1"),
+        F.element_at("embedding", 2).alias("e2"),
+        F.size("embedding").alias("dim"),
+    )
+
+
+SQL_ARRAY_INDEXING = """
+SELECT vec_id, embedding[1] AS e1, embedding[2] AS e2,
+       CAST(len(embedding) AS INTEGER) AS dim
+FROM embeddings
+"""
+
+
+def q_agg_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: daily metric grain (the precomputed-upstream rollup the
+    reference only routes, create_tables.sql:199-244, recomputed as a
+    tumbling-day aggregation)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+            F.count_distinct("user_id").alias("active_users"),
+        )
+    )
+
+
+SQL_AGG_DAILY = """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       count(DISTINCT user_id) AS active_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
 # =====================================================================
 # Analytics (agg/join/sort coverage at warehouse shape)
 # =====================================================================
@@ -706,6 +835,12 @@ QUERIES = {
     "window_lag_gap": q_window_lag_gap,
     "lineage_bucket_rollup": q_lineage_bucket_rollup,
     "json_extract_props": q_json_extract_props,
+    "src_json_scan": q_src_json_scan,
+    "src_csv_scan": q_src_csv_scan,
+    "fn_datetime": q_fn_datetime,
+    "nested_struct_access": q_nested_struct_access,
+    "array_indexing": q_array_indexing,
+    "agg_daily_metrics": q_agg_daily_metrics,
     "tpch_q1_pricing": q_tpch_q1_pricing,
     "tpch_q3_topk": q_tpch_q3_topk,
     "text_token_stats": q_text_token_stats,
@@ -734,6 +869,12 @@ ORACLES = {
     "window_lag_gap": SQL_WINDOW_LAG,
     "lineage_bucket_rollup": SQL_LINEAGE_ROLLUP,
     "json_extract_props": SQL_JSON_PROPS,
+    "src_json_scan": SQL_SRC_JSON,
+    "src_csv_scan": SQL_SRC_CSV,
+    "fn_datetime": SQL_FN_DATETIME,
+    "nested_struct_access": SQL_NESTED_STRUCT,
+    "array_indexing": SQL_ARRAY_INDEXING,
+    "agg_daily_metrics": SQL_AGG_DAILY,
     "tpch_q1_pricing": SQL_TPCH_Q1,
     "tpch_q3_topk": SQL_TPCH_Q3,
     "text_token_stats": SQL_TEXT_TOKEN_STATS,

@@ -1,0 +1,80 @@
+"""Physical-plan audit: print/inspect `.explain` output for the
+engine's hot paths and assert the plan properties the scale design
+relies on (pushdown, broadcast, partial aggregation, codegen).
+
+Usage: python scripts/explain_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from pyspark.sql import functions as F
+
+    from etl_spark.contract import (
+        q_agg_groupby_stats,
+        q_cdc_latest_per_key,
+        q_dedup_minhash_lsh,
+        q_sim_cosine_topk,
+        q_tpch_q3_topk,
+    )
+    from etl_spark.session import get_spark
+
+    spark = get_spark("explain", parallelism=4, shuffle_partitions=4)
+    checks = []
+
+    # scan pruning + filter pushdown on the parquet source
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    pruned = li.filter(F.col("l_shipdate") > "1995-03-15").select("l_orderkey", "l_extendedprice")
+    p = plan_of(pruned)
+    checks.append(("filter pushdown reaches scan", "PushedFilters: [IsNotNull(l_shipdate)" in p))
+    checks.append(("column pruning (3-col ReadSchema)", "ReadSchema" in p and "l_comment" not in p))
+
+    # Q3: dimension side broadcast
+    p = plan_of(q_tpch_q3_topk(spark, sf_dir))
+    checks.append(("q3 broadcasts customer dim", "BroadcastHashJoin" in p))
+
+    # latest-per-key: partial (map-side) aggregation before exchange
+    p = plan_of(q_cdc_latest_per_key(spark, sf_dir))
+    # max_by(struct, lsn) is a SortAggregate (struct buffers are not
+    # hash-aggregable); what matters at scale is the MAP-SIDE partial
+    # collapse before the exchange
+    checks.append(("resolve has map-side partial_max_by", "partial_max_by" in p))
+    # the exchange's input is the partial-agg output buffer (the
+    # extremum ordering attr), i.e. only aggregated rows shuffle
+    checks.append(("resolve exchanges only aggregated rows",
+                   p.count("valueWithExtremumOrdering") >= 3))
+
+    p = plan_of(q_agg_groupby_stats(spark, sf_dir))
+    checks.append(("groupBy partial agg", p.count("HashAggregate") >= 2))
+
+    # minhash LSH: no cartesian product anywhere
+    p = plan_of(q_dedup_minhash_lsh(spark, sf_dir))
+    checks.append(("lsh join is hash-based (no NLJ on shingles)", "CartesianProduct" not in p))
+
+    # cosine topk: query side broadcast (corpus never shuffles)
+    p = plan_of(q_sim_cosine_topk(spark, sf_dir))
+    checks.append(("topk broadcasts query set", "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p))
+
+    failed = [name for name, ok in checks if not ok]
+    for name, ok in checks:
+        print(("ok    " if ok else "FAIL  ") + name)
+    if failed:
+        raise SystemExit(1)
+    print("all plan checks passed")
+
+
+if __name__ == "__main__":
+    main()
