@@ -139,10 +139,18 @@ def apply_batch(
     # 2. spread the batch across the cluster BEFORE the narrow parse/
     #    normalize stages: a micro-batch arrives as few source files
     #    (often one row-group each, unsplittable), so without this the
-    #    map side runs on #files tasks regardless of cores. Salted on
-    #    conv_id so one hot conversation spreads over multiple tasks.
+    #    map side runs on #files tasks regardless of cores.
+    #    Partitioned on the RESOLVE KEY (conv_id, turn_idx): Catalyst
+    #    then elides the exchange under the max-LSN aggregation — one
+    #    shuffle serves both stages — and a hot conversation still
+    #    spreads across tasks via its turn_idx spread. For the
+    #    pathological single-(conv,turn) hot key, cfg.salt_buckets
+    #    switches to the salted two-phase layout instead.
     width = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    batch_df = salted_repartition(batch_df, "conv_id", width, salt=8)
+    if cfg.salt_buckets:
+        batch_df = salted_repartition(batch_df, "conv_id", width, salt=8)
+    else:
+        batch_df = batch_df.repartition(width, *[F.col(k) for k in KEY])
 
     # 3. parse by version -> current schema (JVM from_json + casts);
     #    only the versions present in the batch are unioned (steady

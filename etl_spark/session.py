@@ -50,6 +50,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.mergeSchema", "false")
+        # zstd for data files and shuffle: trades (abundant, parallel)
+        # CPU for (scarce, serial) disk/network bytes — the right side
+        # of the trade on both the virtio sandbox disk and a real
+        # cluster's object store
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.io.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -22,8 +22,16 @@ def run_level(
     work_dir: str, n_events: int, parallelism: int,
     segment_size: int = 200_000, mft: int = 10,
 ) -> dict:
+    # Pin the WHOLE process (JVM task threads + GC + IO + Python
+    # workers) to exactly `parallelism` cores: local[N] alone still
+    # lets JVM background threads (GC especially) spill onto the
+    # host's other cores, inflating the small level's effective CPU —
+    # a real N-core executor has no such spillover. taskset makes the
+    # two levels a faithful 1:4 total-resource comparison.
+    cpus = ",".join(str(c) for c in range(parallelism))
     out = subprocess.run(
         [
+            "taskset", "-c", cpus,
             sys.executable, "-m", "etl_spark.jobs.replay",
             "--work-dir", work_dir,
             "--n-events", str(n_events),
