@@ -115,6 +115,8 @@ hypervisor shows CPU-steal spikes up to 40% that swing wall times
   both levels ({r8['final_rows']} rows, checksum {r8['state_checksum']});
   lineage LSN ranges partition the log with no gaps/overlaps at both.
 """
+    if os.environ.get("SPARK_GRAFT_NO_MD"):
+        return
     path = os.path.join(REPO, "BENCH.md")
     head = ""
     if os.path.exists(path):
