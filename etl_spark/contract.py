@@ -697,7 +697,7 @@ WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return SIM.cosine_topk(emb, queries, k=3)
+    return SIM.cosine_topk(emb, queries, k=3, dim=64)
 
 
 SQL_SIM_COSINE_TOPK = _SQL_COS + """
@@ -721,7 +721,7 @@ _SQL_BUCKET = " + ".join(
 def q_sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return SIM.lsh_ann_topk(emb, queries, k=3, n_bits=8)
+    return SIM.lsh_ann_topk(emb, queries, k=3, n_bits=8, dim=64)
 
 
 SQL_SIM_LSH_ANN = _SQL_COS + f"""
@@ -741,7 +741,7 @@ WHERE rank <= 3
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    return SIM.embedding_neardup_pairs(emb, threshold=0.45)
+    return SIM.embedding_neardup_pairs(emb, threshold=0.45, dim=64)
 
 
 SQL_EMBEDDING_NEARDUP = _SQL_COS + """

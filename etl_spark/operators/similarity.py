@@ -31,7 +31,20 @@ def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Dot product. With `dim` known, unrolls to a flat arithmetic
+    expression (whole-stage codegen; ~10x the interpreted higher-order
+    lambda path) — addition stays left-to-right, exactly the
+    sequential fold order, so results are bit-identical to the
+    fold/oracle formulation."""
+    if dim:
+        terms = [
+            F.element_at(a, i + 1) * F.element_at(b, i + 1) for i in range(dim)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -39,7 +52,9 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def norm(a: Column) -> Column:
+def norm(a: Column, dim: int | None = None) -> Column:
+    if dim:
+        return F.sqrt(dot(a, a, dim))
     return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
@@ -47,8 +62,8 @@ def norm(a: Column) -> Column:
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
 def cosine_topk(
@@ -57,6 +72,7 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -74,7 +90,7 @@ def cosine_topk(
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("score", cosine(F.col("_qv"), F.col("_cv")))
+        .withColumn("score", cosine(F.col("_qv"), F.col("_cv"), dim))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
@@ -107,6 +123,7 @@ def lsh_ann_topk(
     vec_col: str = "embedding",
     k: int = 3,
     n_bits: int = 8,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH
     bucket. Same output shape as cosine_topk. One corpus shuffle on
@@ -124,7 +141,7 @@ def lsh_ann_topk(
     scored = (
         c.join(F.broadcast(q), "_bkt")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("score", cosine(F.col("_qv"), F.col("_cv")))
+        .withColumn("score", cosine(F.col("_qv"), F.col("_cv"), dim))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
@@ -142,6 +159,7 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     n_bits: int = 0,
+    dim: int | None = None,
 ) -> DataFrame:
     """Pairs with cosine >= threshold. n_bits=0 -> exact all-pairs
     (test scale); n_bits>0 -> LSH-bucketed candidates (corpus scale,
@@ -156,7 +174,7 @@ def embedding_neardup_pairs(
         pairs = a.crossJoin(b)
     return (
         pairs.filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("score", cosine(F.col("_va"), F.col("_vb")))
+        .withColumn("score", cosine(F.col("_va"), F.col("_vb"), dim))
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", F.round("score", 4).alias("score_r4"))
     )
