@@ -56,6 +56,53 @@ BASE_VERSION = 1
 
 
 @dataclass(frozen=True)
+class SourceSpec:
+    """One CDC-tracked entity: its base logical schema, merge key, and
+    bucket column. The engine is a single parameterized pipeline — the
+    reference hand-wrote one consumer/handler per topic
+    (/root/reference/src/pipeline/core/client_clickhouse.py:39-58);
+    here a spec value is the whole per-entity configuration, so N
+    entities = N specs, optionally routed out of one shared log
+    (engine.route)."""
+
+    name: str
+    base_fields: tuple[tuple[str, str], ...]
+    key: tuple[str, ...]
+    bucket_by: str
+    # stable field ID of the text column to vectorized-normalize
+    # (None = no normalization pass)
+    normalize_field_id: int | None = None
+
+    def binlog_schema(self) -> T.StructType:
+        """Physical binlog frame for this entity: envelope columns +
+        the key columns (payload carries the non-key fields)."""
+        from etl_spark.lake.table import spark_type
+
+        fields = [
+            T.StructField("lsn", T.LongType(), False),
+            T.StructField("op", T.StringType(), False),  # I | U | D
+        ]
+        types = dict(self.base_fields)
+        for k in self.key:
+            fields.append(T.StructField(k, spark_type(types[k]), False))
+        fields += [
+            T.StructField("op_ts", T.TimestampType(), False),
+            T.StructField("schema_version", T.IntegerType(), False),
+            T.StructField("payload", T.StringType(), True),  # JSON; null for D
+        ]
+        return T.StructType(fields)
+
+
+TRANSCRIPTS = SourceSpec(
+    "transcripts",
+    tuple(BASE_FIELDS),
+    tuple(KEY),
+    BUCKET_BY,
+    normalize_field_id=4,  # `text`
+)
+
+
+@dataclass(frozen=True)
 class SchemaOp:
     """A schema-evolution op taking effect at `lsn`; events with
     schema_version >= `version` were written under it."""
@@ -83,9 +130,15 @@ def canonical_ops(positions: list[int]) -> list[SchemaOp]:
     ]
 
 
-def fields_at_version(ops: list[SchemaOp], version: int) -> list[Field]:
+def fields_at_version(
+    ops: list[SchemaOp],
+    version: int,
+    base_fields: list[tuple[str, str]] | tuple = None,
+) -> list[Field]:
     """Logical table fields (with stable IDs) at a given schema version."""
-    fields = [Field(i + 1, n, t) for i, (n, t) in enumerate(BASE_FIELDS)]
+    if base_fields is None:
+        base_fields = BASE_FIELDS
+    fields = [Field(i + 1, n, t) for i, (n, t) in enumerate(base_fields)]
     for op in sorted(ops, key=lambda o: o.version):
         if op.version > version:
             break
@@ -114,14 +167,18 @@ def version_at_lsn(ops: list[SchemaOp], lsn: int) -> int:
     return v
 
 
-def payload_fields(ops: list[SchemaOp], version: int) -> list[Field]:
+def payload_fields(
+    ops: list[SchemaOp], version: int, spec: SourceSpec | None = None
+) -> list[Field]:
     """Payload fields serialized in a version-`version` event's JSON:
     the logical fields minus the key columns. Types reflect the wire
     encoding: pre-widen `ts` is a long (epoch seconds); post-widen it
     is an ISO-8601 string."""
+    if spec is None:
+        spec = TRANSCRIPTS
     out = []
-    for f in fields_at_version(ops, version):
-        if f.name in KEY:
+    for f in fields_at_version(ops, version, spec.base_fields):
+        if f.name in spec.key:
             continue
         if f.type == "timestamp":
             out.append(Field(f.id, f.name, "string"))  # ISO on the wire

@@ -15,7 +15,9 @@ weaker rows-only check; their golden tests live in tests/.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -32,10 +34,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+_TMP_DIRS: list[str] = []
+
+
 def _tmp(prefix: str) -> str:
-    return os.path.join(
+    path = os.path.join(
         tempfile.gettempdir(), f"etl_spark_{prefix}_{uuid.uuid4().hex[:8]}"
     )
+    _TMP_DIRS.append(path)
+    return path
+
+
+@atexit.register
+def _cleanup_tmp() -> None:
+    """Contract-query scratch (lake tables, JSON/CSV round-trips,
+    replay checkpoints) is process-scoped; reap it on exit so repeated
+    bench/contract runs don't leak table copies under /tmp."""
+    for p in _TMP_DIRS:
+        shutil.rmtree(p, ignore_errors=True)
 
 
 # =====================================================================
@@ -739,16 +755,27 @@ WHERE rank <= 3
 """
 
 
+_SQL_BUCKET4 = " + ".join(
+    f"(CASE WHEN v[{i+1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(4)
+)
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-dup pairs (the scale-safe default path: no
+    crossJoin in the plan; oracle mirrors the same-bucket restriction).
+    4 bits (16 buckets) at contract scale so the recall trade-off still
+    yields a non-trivial result set; at corpus scale n_bits rises with
+    N to hold per-bucket pair counts bounded."""
     emb = _t(spark, sf_dir, "embeddings")
-    return SIM.embedding_neardup_pairs(emb, threshold=0.45, dim=64)
+    return SIM.embedding_neardup_pairs(emb, threshold=0.45, n_bits=4, dim=64)
 
 
-SQL_EMBEDDING_NEARDUP = _SQL_COS + """
-s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             list_dot_product(a.v, b.v)
-               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS score
-      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SQL_EMBEDDING_NEARDUP = _SQL_COS + f"""
+b AS (SELECT vec_id, v, CAST({_SQL_BUCKET4} AS INTEGER) AS bkt FROM e),
+s AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+             list_dot_product(a.v, c.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) AS score
+      FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id < c.vec_id)
 SELECT id_a, id_b, round(score, 4) AS score_r4
 FROM s WHERE score >= 0.45
 """
@@ -783,6 +810,74 @@ def q_mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id", "kind", "n_bytes", F.size("feature").alias("dim")
     )
+
+
+# =====================================================================
+# Full CDC engine replay over the driver's events table — the flagship
+# STREAMING path (file-source micro-batches, checkpoint, foreachBatch,
+# ledgered MERGE commits) with a hash-checked oracle: final state is
+# last-writer-wins by event_id, which IS SQL-expressible.
+# =====================================================================
+
+def q_cdc_events_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real streaming engine (engine.stream.run_replay →
+    apply_batch → lake MERGE) applied to the driver's `events` table
+    re-framed as a CDC changelog: lsn=event_id, key=(user_id,
+    event_type), payload = JSON{value, ts}. Unlike q_cdc_merge_upsert
+    (which calls merge_into directly), every layer here is the
+    production path — streaming file source, checkpoint offsets,
+    foreachBatch, footer stats, schema registry, batch ledger, lineage
+    — and the DuckDB oracle checks the final values exactly (the
+    reference's value-checking e2e verifier analog,
+    /root/reference/tests/e2e/data_verifier.py:160-187)."""
+    from etl_spark.cdc_schema import SourceSpec
+    from etl_spark.config import EngineConfig
+    from etl_spark.pipeline import bootstrap, replay
+
+    spec = SourceSpec(
+        "events",
+        (
+            ("user_id", "long"),
+            ("event_type", "string"),
+            ("value", "double"),
+            ("ts", "timestamp"),
+        ),
+        ("user_id", "event_type"),
+        "user_id",
+    )
+    ev = _t(spark, sf_dir, "events")
+    binlog = ev.select(
+        F.col("event_id").alias("lsn"),
+        F.lit("U").alias("op"),
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp_ltz").alias("op_ts"),
+        F.lit(1).cast("int").alias("schema_version"),
+        F.to_json(
+            F.struct(
+                F.col("value"),
+                # microsecond-exact wire encoding (ISO string)
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            )
+        ).alias("payload"),
+    )
+    seg_dir = _tmp("evseg")
+    binlog.repartitionByRange(8, "lsn").write.parquet(seg_dir)
+    root = _tmp("evreplay")
+    cfg = EngineConfig(
+        table_root=os.path.join(root, "tbl"),
+        manifest_dir=os.path.join(root, "manifest"),
+        checkpoint_dir=os.path.join(root, "ckpt"),
+        num_buckets=16,
+        max_files_per_trigger=3,
+    )
+    bootstrap(spark, cfg, None, spec=spec)
+    replay(spark, cfg, seg_dir, ops=[], spec=spec)
+    table = LakeTable(spark, cfg.table_root)
+    return table.read().select("user_id", "event_type", "value", "ts")
+
+
+SQL_CDC_EVENTS_REPLAY = SQL_CDC_MERGE
 
 
 # =====================================================================
@@ -855,6 +950,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "mm_binary_metadata": q_mm_binary_metadata,
     "mm_decode_features": q_mm_decode_features,
+    "cdc_events_replay": q_cdc_events_replay,
     "cdc_transcripts_replay": q_cdc_transcripts_replay,
 }
 
@@ -887,6 +983,7 @@ ORACLES = {
     "sim_lsh_ann_topk": SQL_SIM_LSH_ANN,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "mm_binary_metadata": SQL_MM_BINARY,
+    "cdc_events_replay": SQL_CDC_EVENTS_REPLAY,
     # dedup_simhash, mm_decode_features, cdc_transcripts_replay:
     # intentionally no SQL oracle (non-SQL-expressible; rows-only)
 }

@@ -10,17 +10,37 @@ foreachBatch body of one Structured Streaming query.
 Exactly-once: Spark may re-run a batch_id after a crash; idempotence
 comes from (a) the lake manifest's committed-batch ledger (a replayed
 batch_id is a no-op commit), (b) the MERGE LSN-monotonicity guard, and
-(c) lineage written per batch_id with overwrite (SURVEY.md §7.2).
+(c) lineage written per batch_id with atomic overwrite (SURVEY.md
+§7.2). A replayed epoch whose ledger entry exists but whose lineage
+file is missing (crash in the window between the two commits)
+recomputes and rewrites the lineage — the MERGE itself stays a no-op.
+
+Per-batch fixed-cost budget (the non-scaling `c` term that caps
+scaling efficiency): exactly ONE full-pipeline Spark job (the MERGE
+write) plus one small aggregation over the persisted resolved set
+(lineage rollup, <= num_buckets result rows, written driver-side).
+Batch stats come from parquet footers (driver-side, no job); the
+lineage rollup of batch N runs in a background thread overlapped with
+batch N+1's source read and parse (commit pipelining, depth 1).
 """
 
 from __future__ import annotations
+
+import concurrent.futures
+import os
+import sys
+import threading
+import time
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from etl_spark.cdc_schema import (
     BASE_VERSION,
     KEY,
+    TRANSCRIPTS,
     SchemaOp,
+    SourceSpec,
     fields_at_version,
     payload_fields,
     version_at_lsn,
@@ -33,12 +53,39 @@ from etl_spark.engine.skew import salted_repartition
 from etl_spark.lake.merge import merge_into
 from etl_spark.lake.table import LakeTable, spark_type
 
+# one in-flight lineage writer per table (commit pipelining, depth 1)
+_PENDING: dict[str, concurrent.futures.Future] = {}
+_EXECUTOR = concurrent.futures.ThreadPoolExecutor(
+    max_workers=4, thread_name_prefix="lineage"
+)
+_LOCK = threading.Lock()
+
+
+def drain_pending(table_root: str) -> None:
+    """Join the previous batch's background lineage write for this
+    table; re-raises any error it hit."""
+    with _LOCK:
+        fut = _PENDING.pop(table_root, None)
+    if fut is not None:
+        fut.result()
+
+
+def drain_all_pending() -> None:
+    """Join every in-flight lineage write (call before reading lineage
+    or shutting down)."""
+    with _LOCK:
+        futs = list(_PENDING.values())
+        _PENDING.clear()
+    for fut in futs:
+        fut.result()
+
 
 def parse_events(
     df: DataFrame,
     ops: list[SchemaOp],
     target_version: int,
     versions: list[int] | None = None,
+    spec: SourceSpec = TRANSCRIPTS,
 ) -> DataFrame:
     """Decode the JSON payload by each event's schema_version and
     project every event onto the `target_version` schema, mapping
@@ -51,12 +98,16 @@ def parse_events(
     no union, single scan)."""
     if versions is None:
         versions = list(range(BASE_VERSION, target_version + 1))
-    target = [f for f in fields_at_version(ops, target_version) if f.name not in KEY]
+    target = [
+        f
+        for f in fields_at_version(ops, target_version, spec.base_fields)
+        if f.name not in spec.key
+    ]
     target_by_id = {f.id: f for f in target}
 
     branches = []
     for v in versions:
-        pf = payload_fields(ops, v)
+        pf = payload_fields(ops, v, spec)
         pstruct = T.StructType(
             [T.StructField(f.name, spark_type(f.type), True) for f in pf]
         )
@@ -64,7 +115,7 @@ def parse_events(
             "_p", F.from_json(F.col("payload"), pstruct)
         )
         by_id = {f.id: f for f in pf}
-        cols = [F.col(k) for k in KEY] + [
+        cols = [F.col(k) for k in spec.key] + [
             F.col("lsn"),
             F.col("op"),
             F.col("op_ts"),
@@ -107,6 +158,112 @@ def evolve_due_ops(table: LakeTable, ops: list[SchemaOp], max_lsn: int) -> int:
     return BASE_VERSION + max(applied, len(due))
 
 
+def _batch_files_from_checkpoint(checkpoint_dir: str, batch_id: int) -> list[str]:
+    """The streaming file source's offset log records exactly the
+    files added in each micro-batch (`<ckpt>/sources/0/<batch_id>`,
+    one JSON entry per file). Reading it is a driver-side O(#files)
+    metadata lookup. Returns [] when unavailable (non-streaming frame,
+    compacted log, or a non-file source)."""
+    import json
+
+    path = os.path.join(checkpoint_dir, "sources", "0", str(batch_id))
+    if not os.path.exists(path):
+        return []
+    out = []
+    try:
+        with open(path) as fh:
+            for line in fh:
+                line = line.strip()
+                if line.startswith("{"):
+                    entry = json.loads(line)
+                    if "path" in entry:
+                        out.append(entry["path"])
+    except Exception:
+        return []
+    return out
+
+
+def _stats_from_footers(batch_df: DataFrame, files: list[str] | None = None) -> dict | None:
+    """Batch stats (min/max lsn, row count, schema_version range) from
+    the source parquet footers — driver-side metadata reads, O(#files),
+    no Spark job. A streaming file-source micro-batch is a set of whole
+    files, so footer row-group statistics describe the batch exactly.
+    Returns None (caller falls back to an aggregation) when the frame
+    is not a pure file scan or stats are absent."""
+    if files is None:
+        try:
+            files = batch_df.inputFiles()
+        except Exception:
+            return None
+    if not files:
+        return None
+    import pyarrow.parquet as pq
+
+    tot = 0
+    mn = mx = vmn = vmx = None
+    for uri in files:
+        path = unquote(urlparse(uri).path) if "://" in uri or uri.startswith("file:") else uri
+        try:
+            md = pq.ParquetFile(path).metadata
+        except Exception:
+            return None
+        tot += md.num_rows
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        if "lsn" not in names or "schema_version" not in names:
+            return None
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            s_lsn = row_group.column(names["lsn"]).statistics
+            s_ver = row_group.column(names["schema_version"]).statistics
+            if s_lsn is None or s_ver is None or not s_lsn.has_min_max or not s_ver.has_min_max:
+                return None
+            mn = s_lsn.min if mn is None else min(mn, s_lsn.min)
+            mx = s_lsn.max if mx is None else max(mx, s_lsn.max)
+            vmn = s_ver.min if vmn is None else min(vmn, s_ver.min)
+            vmx = s_ver.max if vmx is None else max(vmx, s_ver.max)
+    if tot == 0:
+        return {"min_lsn": 0, "max_lsn": 0, "events_in": 0, "vmin": None, "vmax": None}
+    return {
+        "min_lsn": int(mn),
+        "max_lsn": int(mx),
+        "events_in": int(tot),
+        "vmin": int(vmn),
+        "vmax": int(vmx),
+    }
+
+
+def _stats_from_agg(batch_df: DataFrame) -> dict:
+    """Fallback: one slim aggregation action (min/max/count only — no
+    distinct expansion, no collect_set; those moved into the resolve
+    aggregation as per-key counts)."""
+    row = batch_df.agg(
+        F.min("lsn").alias("min_lsn"),
+        F.max("lsn").alias("max_lsn"),
+        F.count("*").alias("events_in"),
+        F.min("schema_version").alias("vmin"),
+        F.max("schema_version").alias("vmax"),
+    ).collect()[0]
+    if row["events_in"] == 0:
+        return {"min_lsn": 0, "max_lsn": 0, "events_in": 0, "vmin": None, "vmax": None}
+    return {
+        "min_lsn": int(row["min_lsn"]),
+        "max_lsn": int(row["max_lsn"]),
+        "events_in": int(row["events_in"]),
+        "vmin": int(row["vmin"]),
+        "vmax": int(row["vmax"]),
+    }
+
+
+_TIMING = bool(os.environ.get("SPARK_GRAFT_TIMING"))
+
+
+def _tlog(batch_id: int, phase: str, t0: float) -> float:
+    t = time.time()
+    if _TIMING:
+        print(f"#T batch={batch_id} {phase}={t - t0:.3f}s", file=sys.stderr)
+    return t
+
+
 def apply_batch(
     spark,
     cfg: EngineConfig,
@@ -114,27 +271,44 @@ def apply_batch(
     batch_df: DataFrame,
     batch_id: int,
     source_id: str = "cdc",
+    spec: SourceSpec = TRANSCRIPTS,
+    footer_stats: bool = True,
 ) -> None:
+    t0 = time.time()
     table = LakeTable(spark, cfg.table_root)
     batch_key = f"{source_id}:{batch_id}"
-    if table.has_batch(batch_key):
-        return  # replayed epoch after crash: already fully committed
 
-    # one small aggregate action for batch stats (counted once — the
-    # reference recomputed count() per branch, spark.py:143-158)
-    stats_row = batch_df.agg(
-        F.min("lsn").alias("min_lsn"),
-        F.max("lsn").alias("max_lsn"),
-        F.count("*").alias("events_in"),
-        F.count_distinct("lsn").alias("events_distinct"),
-        F.collect_set("schema_version").alias("versions"),
-    ).collect()[0]
-    if stats_row["events_in"] == 0:
+    if table.has_batch(batch_key):
+        # replayed epoch after crash. The MERGE is already committed; if
+        # the crash hit the window before the lineage write, fall
+        # through to recompute it (merge_into below no-ops via ledger).
+        drain_pending(cfg.table_root)
+        if lineage.has_batch_manifest(cfg.manifest_dir, batch_id):
+            return
+
+    # batch stats from parquet footers (no Spark job); fall back to a
+    # slim aggregation for non-file frames or when the stream was
+    # transformed upstream (watermark dedup drops rows the footers
+    # would still count)
+    t = _tlog(batch_id, "drain+ledger", t0)
+    use_footers = footer_stats and not cfg.use_watermark_dedup
+    stats_src = None
+    if use_footers:
+        files = _batch_files_from_checkpoint(cfg.checkpoint_dir, batch_id)
+        stats_src = _stats_from_footers(batch_df, files or None)
+    stats_src = stats_src or _stats_from_agg(batch_df)
+    if stats_src["events_in"] == 0:
         return
-    max_lsn = int(stats_row["max_lsn"])
+    max_lsn = stats_src["max_lsn"]
+    t = _tlog(batch_id, "stats", t)
 
     # 1. schema evolution due at this LSN horizon (metadata-only commits)
     target_version = evolve_due_ops(table, ops, max_lsn)
+    t = _tlog(batch_id, "evolve", t)
+
+    # schema versions possibly present: version is monotone in LSN, so
+    # the footer min/max of schema_version bounds the branch set
+    versions = list(range(stats_src["vmin"], stats_src["vmax"] + 1))
 
     # 2. spread the batch across the cluster BEFORE the narrow parse/
     #    normalize stages: a micro-batch arrives as few source files
@@ -148,21 +322,23 @@ def apply_batch(
     #    switches to the salted two-phase layout instead.
     width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if cfg.salt_buckets:
-        batch_df = salted_repartition(batch_df, "conv_id", width, salt=8)
+        batch_df = salted_repartition(batch_df, spec.bucket_by, width, salt=8)
     else:
-        batch_df = batch_df.repartition(width, *[F.col(k) for k in KEY])
+        batch_df = batch_df.repartition(width, *[F.col(k) for k in spec.key])
 
     # 3. parse by version -> current schema (JVM from_json + casts);
     #    only the versions present in the batch are unioned (steady
     #    state: exactly one branch, one scan)
-    parsed = parse_events(
-        batch_df, ops, target_version, versions=sorted(stats_row["versions"])
-    )
+    parsed = parse_events(batch_df, ops, target_version, versions=versions, spec=spec)
 
     # 4. vectorized text normalization (Arrow pandas UDF; D rows keep null)
-    if cfg.normalize_text_col:
+    if cfg.normalize_text_col and spec.normalize_field_id is not None:
         text_col = next(
-            (f.name for f in fields_at_version(ops, target_version) if f.id == 4),
+            (
+                f.name
+                for f in fields_at_version(ops, target_version, spec.base_fields)
+                if f.id == spec.normalize_field_id
+            ),
             None,
         )
         if text_col is not None:
@@ -171,32 +347,74 @@ def apply_batch(
     # 5. max-LSN resolution per key (out-of-order within the batch).
     #    Exact-duplicate re-emits (same key AND lsn) carry identical
     #    payloads by construction, so max_by collapses them too — no
-    #    separate dropDuplicates shuffle needed.
+    #    separate dropDuplicates shuffle needed. with_counts piggybacks
+    #    the exact raw/distinct event tallies for lineage on the same
+    #    aggregation (no separate count_distinct job).
     resolved = resolve_max_lsn(
-        parsed.drop("op_ts"), KEY, salt_buckets=cfg.salt_buckets
+        parsed.drop("op_ts"),
+        list(spec.key),
+        salt_buckets=cfg.salt_buckets,
+        with_counts=True,
     )
     # One materialization serves the merge (bucket discovery + join +
     # CoW write) and the lineage rollup; without it the whole parse/
     # normalize/shuffle pipeline re-runs per consumer.
     resolved = resolved.persist()
 
+    stats = {
+        "min_lsn": stats_src["min_lsn"],
+        "max_lsn": max_lsn,
+        "events_in": stats_src["events_in"],
+    }
+
+    # 6. MERGE into the lake (bucket-pruned CoW / O(batch) MoR append;
+    #    atomic ledgered commit) — the batch's one full-pipeline job
     try:
-        # 6. MERGE into the lake (bucket-pruned CoW; atomic ledgered commit)
-        stats = {
-            "min_lsn": int(stats_row["min_lsn"]),
-            "max_lsn": max_lsn,
-            "events_in": int(stats_row["events_in"]),
-            "events_distinct": int(stats_row["events_distinct"]),
-        }
         version = merge_into(table, resolved, batch_key=batch_key, batch_stats=stats)
-
-        # 7. per-partition lineage manifest (idempotent per batch_id)
-        lineage.write_batch_manifest(
-            spark, cfg.manifest_dir, table, resolved, batch_id, stats, version
-        )
-
-        # 8. merge-on-read maintenance: bound per-bucket file counts
-        if cfg.compact_max_files_per_bucket:
-            table.compact(cfg.compact_max_files_per_bucket)
-    finally:
+    except BaseException:
         resolved.unpersist()
+        raise
+    t = _tlog(batch_id, "merge", t)
+
+    # join the PREVIOUS batch's background lineage write only now —
+    # this batch's read/parse/resolve/merge all overlapped it. Raising
+    # its error here (post-merge, pre-commit of this epoch) keeps
+    # failures loud while hiding the rollup's latency entirely.
+    drain_pending(cfg.table_root)
+    t = _tlog(batch_id, "drain_prev", t)
+
+    def _finish() -> None:
+        tf = time.time()
+        try:
+            # 7. per-partition lineage manifest (idempotent per batch_id)
+            try:
+                lineage.write_batch_manifest(
+                    spark, cfg.manifest_dir, table, resolved, batch_id, stats, version
+                )
+            except Exception:
+                # one synchronous retry: a transient failure here would
+                # otherwise leave a permanent lineage gap (this epoch
+                # commits and is never replayed)
+                time.sleep(1.0)
+                lineage.write_batch_manifest(
+                    spark, cfg.manifest_dir, table, resolved, batch_id, stats, version
+                )
+            # 8. merge-on-read maintenance: bound per-bucket file counts
+            if cfg.compact_max_files_per_bucket:
+                table.compact(cfg.compact_max_files_per_bucket)
+        finally:
+            resolved.unpersist()
+            _tlog(batch_id, "lineage", tf)
+
+    # lineage is a small rollup over the persisted resolved set; run it
+    # in the background so the streaming engine can commit this epoch
+    # and start reading batch N+1 while it lands. Safe because lineage
+    # is idempotent-overwrite and a crash in the window is healed by
+    # the has_batch+has_batch_manifest recheck above. Compaction
+    # commits table versions, so it forces the synchronous path (no
+    # concurrent manifest commits).
+    if cfg.async_lineage and not cfg.compact_max_files_per_bucket:
+        with _LOCK:
+            _PENDING[cfg.table_root] = _EXECUTOR.submit(_finish)
+    else:
+        _finish()

@@ -5,20 +5,28 @@ Replaces the reference's `loaded_files` registry (a filename set,
 real audit ledger: for every micro-batch and hash bucket, the LSN
 range applied, row count, and an order-insensitive content checksum
 (sum of crc32 over canonicalized rows) — enough to verify that a
-resumed replay covered the log exactly once with no gaps or overlaps,
-and stable across parallelism levels (local[8] vs local[32]).
+resumed replay covered the log exactly once with no gaps, and stable
+across parallelism levels (local[8] vs local[32]).
 
-Written per batch into `manifest_dir/batch_id=N/` with overwrite, so a
-crash-replayed epoch rewrites the identical rows (idempotent).
+Write path is hot-loop-aware: the per-bucket rollup is ONE Spark
+aggregation (collect of <= num_buckets rows), and the parquet file is
+written driver-side with pyarrow via tmp+atomic-rename — no Spark
+write job, no commit-protocol temp dirs/_SUCCESS/fsync chatter per
+micro-batch. A crash-replayed epoch rewrites the identical rows
+(os.replace is an atomic overwrite).
 """
 
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from etl_spark.lake.table import BUCKET_COL, LakeTable
+
+# resolve-internal count columns excluded from the content checksum
+INTERNAL_COLS = {BUCKET_COL, "_nev", "_nlsn"}
 
 
 def _canonical_checksum_col(cols: list[str]):
@@ -26,6 +34,14 @@ def _canonical_checksum_col(cols: list[str]):
     return F.sum(
         F.crc32(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]))
     )
+
+
+def _batch_file(manifest_dir: str, batch_id: int) -> str:
+    return os.path.join(manifest_dir, f"batch-{batch_id:010d}.parquet")
+
+
+def has_batch_manifest(manifest_dir: str, batch_id: int) -> bool:
+    return os.path.exists(_batch_file(manifest_dir, batch_id))
 
 
 def write_batch_manifest(
@@ -37,48 +53,86 @@ def write_batch_manifest(
     stats: dict,
     table_version: int,
 ) -> None:
+    """One aggregation job -> <= num_buckets rows -> driver-side atomic
+    parquet write. `resolved` may carry the optional `_nev`/`_nlsn`
+    per-key counts from `resolve_max_lsn(..., with_counts=True)`; when
+    present they yield exact per-bucket raw/distinct event counts with
+    zero extra jobs (the round-1 design paid a separate full-batch
+    count_distinct action for these)."""
     m = table.manifest()
-    content_cols = [c for c in resolved.columns if c != BUCKET_COL]
+    content_cols = [c for c in resolved.columns if c not in INTERNAL_COLS]
+    aggs = [
+        F.min("lsn").alias("min_lsn"),
+        F.max("lsn").alias("max_lsn"),
+        F.count("*").alias("row_count"),
+        _canonical_checksum_col(content_cols).alias("checksum"),
+    ]
+    has_counts = "_nev" in resolved.columns
+    if has_counts:
+        aggs += [
+            F.sum("_nev").alias("events_in"),
+            F.sum("_nlsn").alias("events_distinct"),
+        ]
     rows = (
         resolved.withColumn(BUCKET_COL, table.bucket_expr(m))
         .groupBy(F.col(BUCKET_COL).alias("partition_id"))
-        .agg(
-            F.min("lsn").alias("min_lsn"),
-            F.max("lsn").alias("max_lsn"),
-            F.count("*").alias("row_count"),
-            _canonical_checksum_col(content_cols).alias("checksum"),
-        )
-        .withColumn("batch_id", F.lit(batch_id).cast("long"))
-        .withColumn("batch_min_lsn", F.lit(stats["min_lsn"]).cast("long"))
-        .withColumn("batch_max_lsn", F.lit(stats["max_lsn"]).cast("long"))
-        .withColumn("events_in", F.lit(stats["events_in"]).cast("long"))
-        .withColumn("events_distinct", F.lit(stats["events_distinct"]).cast("long"))
-        .withColumn("table_version", F.lit(table_version).cast("long"))
-        .withColumn("committed_at", F.current_timestamp())
+        .agg(*aggs)
+        .collect()
     )
-    # plain dir per batch (not hive-style `batch_id=`: the column is
-    # already in the data and discovery would collide on the name)
-    out = os.path.join(manifest_dir, f"batch-{batch_id:010d}")
-    rows.coalesce(1).write.mode("overwrite").parquet(out)
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = len(rows)
+    ev_in = [int(r["events_in"]) if has_counts else None for r in rows]
+    ev_di = [int(r["events_distinct"]) if has_counts else None for r in rows]
+    tbl = pa.table(
+        {
+            "partition_id": pa.array([r["partition_id"] for r in rows], pa.int32()),
+            "min_lsn": pa.array([r["min_lsn"] for r in rows], pa.int64()),
+            "max_lsn": pa.array([r["max_lsn"] for r in rows], pa.int64()),
+            "row_count": pa.array([r["row_count"] for r in rows], pa.int64()),
+            "checksum": pa.array([r["checksum"] for r in rows], pa.int64()),
+            "events_in": pa.array(ev_in, pa.int64()),
+            "events_distinct": pa.array(ev_di, pa.int64()),
+            "batch_id": pa.array([batch_id] * n, pa.int64()),
+            "batch_min_lsn": pa.array([stats["min_lsn"]] * n, pa.int64()),
+            "batch_max_lsn": pa.array([stats["max_lsn"]] * n, pa.int64()),
+            "batch_events_in": pa.array([stats["events_in"]] * n, pa.int64()),
+            "table_version": pa.array([table_version] * n, pa.int64()),
+            "committed_at_us": pa.array([int(time.time() * 1e6)] * n, pa.int64()),
+        }
+    )
+    os.makedirs(manifest_dir, exist_ok=True)
+    out = _batch_file(manifest_dir, batch_id)
+    tmp = out + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, out)
 
 
 def read_manifest(spark: SparkSession, manifest_dir: str) -> DataFrame:
-    dirs = [
-        os.path.join(manifest_dir, d)
-        for d in sorted(os.listdir(manifest_dir))
-        if d.startswith("batch-")
+    # join any in-flight async lineage writers before reading
+    from etl_spark.engine.apply import drain_all_pending
+
+    drain_all_pending()
+    paths = [
+        os.path.join(manifest_dir, f)
+        for f in sorted(os.listdir(manifest_dir))
+        if f.startswith("batch-") and f.endswith(".parquet")
     ]
-    return spark.read.parquet(*dirs)
+    return spark.read.parquet(*paths)
 
 
 def check_invariants(spark: SparkSession, manifest_dir: str) -> dict:
     """Assert the lineage invariants (FIXTURES.md §5): per-batch LSN
-    ranges partition the log — pairwise disjoint, no batch applied
-    twice — and per-batch resolved counts are consistent. Batches need
-    not arrive in LSN order (the file source may reorder ties; the
-    MERGE LSN guard makes any order safe), so disjointness is checked
-    over ranges sorted by their low end. Returns summary stats; raises
-    on violation."""
+    ranges cover the log with NO GAPS (fatal — lost data), while
+    cross-batch range OVERLAP is tolerated and reported (at-least-once
+    sources legitimately re-deliver an event into a later segment; the
+    MERGE LSN guard keeps state exact, so overlap is an audit fact,
+    not corruption). Gap detection assumes LSN-dense logs (the WAL
+    assigns consecutive LSNs), matching the binlog contract. Batches
+    need not arrive in LSN order (the file source may reorder ties).
+    Returns summary stats; raises on gap."""
     df = read_manifest(spark, manifest_dir)
     per_batch = (
         df.groupBy("batch_id")
@@ -86,23 +140,27 @@ def check_invariants(spark: SparkSession, manifest_dir: str) -> dict:
             F.min("batch_min_lsn").alias("lo"),
             F.max("batch_max_lsn").alias("hi"),
             F.sum("row_count").alias("keys_resolved"),
-            F.max("events_distinct").alias("events_distinct"),
+            F.sum("events_distinct").alias("events_distinct"),
         )
-        .orderBy("lo")
+        .orderBy("lo", "batch_id")
         .collect()
     )
-    prev_hi = -1
+    prev_hi = None
+    overlapped = []
     total_distinct = 0
     for r in per_batch:
-        if r["lo"] <= prev_hi:
+        if prev_hi is not None and r["lo"] > prev_hi + 1:
             raise AssertionError(
-                f"batch {r['batch_id']}: LSN range [{r['lo']},{r['hi']}] "
-                f"overlaps another batch's range (prev hi {prev_hi})"
+                f"batch {r['batch_id']}: LSN gap — range starts at {r['lo']} "
+                f"but the log is only covered through {prev_hi}"
             )
-        prev_hi = r["hi"]
-        total_distinct += r["events_distinct"]
+        if prev_hi is not None and r["lo"] <= prev_hi:
+            overlapped.append(int(r["batch_id"]))
+        prev_hi = r["hi"] if prev_hi is None else max(prev_hi, r["hi"])
+        total_distinct += r["events_distinct"] or 0
     return {
         "batches": len(per_batch),
         "events_distinct_total": int(total_distinct),
         "max_lsn": int(prev_hi) if per_batch else None,
+        "overlapping_batches": overlapped,
     }

@@ -27,29 +27,58 @@ def resolve_max_lsn(
     key: list[str],
     lsn_col: str = "lsn",
     salt_buckets: int = 0,
+    with_counts: bool = False,
 ) -> DataFrame:
     """One row per `key`: the full row carrying the highest `lsn`.
 
     Exact-duplicate events (same key and lsn — at-least-once re-emits)
     collapse too, since tied rows are identical by construction.
+
+    `with_counts=True` adds `_nev` (raw events for the key) and
+    `_nlsn` (distinct LSNs for the key) columns, computed inside the
+    same hash aggregation — zero extra shuffles. Summing them yields
+    exact batch raw/distinct event totals for lineage, replacing a
+    separate full-batch count_distinct action. (`collect_set` state is
+    bounded by events-per-key within one micro-batch, which the
+    key-grain — e.g. (conv_id, turn_idx) — keeps small even for hot
+    conversations; LSNs are unique per event so per-key sets are
+    disjoint across keys and across salt groups.)
     """
     others = [c for c in df.columns if c not in key]
     packed = F.struct(*[F.col(c) for c in others]).alias("_row")
 
+    def _count_aggs():
+        if not with_counts:
+            return []
+        return [
+            F.count("*").alias("_nev"),
+            F.size(F.collect_set(F.col(lsn_col))).alias("_nlsn"),
+        ]
+
     if salt_buckets and salt_buckets > 1:
-        # phase 1: reduce within (key, salt) groups; phase 2: final
+        # phase 1: reduce within (key, salt) groups; phase 2: final.
+        # salt = hash(lsn) -> a given LSN lands in exactly one salt
+        # group, so phase-2 sums of per-group distinct counts are exact.
         salted = df.withColumn(
             "_salt", F.pmod(F.xxhash64(F.col(lsn_col)), F.lit(salt_buckets))
         )
         part = (
             salted.groupBy(*key, "_salt")
             .agg(F.max_by(packed, F.col(lsn_col)).alias("_row"),
-                 F.max(lsn_col).alias("_max_lsn"))
+                 F.max(lsn_col).alias("_max_lsn"),
+                 *_count_aggs())
         )
-        final = part.groupBy(*key).agg(
-            F.max_by(F.col("_row"), F.col("_max_lsn")).alias("_row")
-        )
+        final_aggs = [F.max_by(F.col("_row"), F.col("_max_lsn")).alias("_row")]
+        if with_counts:
+            final_aggs += [
+                F.sum("_nev").alias("_nev"),
+                F.sum("_nlsn").alias("_nlsn"),
+            ]
+        final = part.groupBy(*key).agg(*final_aggs)
     else:
-        final = df.groupBy(*key).agg(F.max_by(packed, F.col(lsn_col)).alias("_row"))
+        final = df.groupBy(*key).agg(
+            F.max_by(packed, F.col(lsn_col)).alias("_row"), *_count_aggs()
+        )
 
-    return final.select(*key, "_row.*")
+    extra = ["_nev", "_nlsn"] if with_counts else []
+    return final.select(*key, "_row.*", *extra)

@@ -13,9 +13,9 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-from etl_spark.cdc_schema import BINLOG_SCHEMA, KEY, SchemaOp
+from etl_spark.cdc_schema import TRANSCRIPTS, SchemaOp, SourceSpec
 from etl_spark.config import EngineConfig
-from etl_spark.engine.apply import apply_batch
+from etl_spark.engine.apply import apply_batch, drain_pending
 
 
 def run_replay(
@@ -25,13 +25,14 @@ def run_replay(
     ops: list[SchemaOp],
     available_now: bool = True,
     processing_time: str = "1 second",
+    spec: SourceSpec = TRANSCRIPTS,
 ) -> None:
     """Tail the binlog segment directory and apply every micro-batch.
     `available_now=True` = bounded replay (drain all segments, then
     stop); False = continuous tail. Resumable: offsets live in the
     checkpoint, applied state in the lake manifest ledger."""
     stream = (
-        spark.readStream.schema(BINLOG_SCHEMA)
+        spark.readStream.schema(spec.binlog_schema())
         .option("maxFilesPerTrigger", cfg.max_files_per_trigger)
         .parquet(segments_dir)
     )
@@ -41,14 +42,17 @@ def run_replay(
         # LSN guard (idempotent upsert), so correctness never depends on
         # the watermark — only state size does.
         stream = stream.withWatermark("op_ts", cfg.watermark)
-        stream = stream.dropDuplicatesWithinWatermark(KEY + ["lsn"])
+        stream = stream.dropDuplicatesWithinWatermark(list(spec.key) + ["lsn"])
 
     writer = stream.writeStream.foreachBatch(
-        lambda df, bid: apply_batch(spark, cfg, ops, df, bid)
+        lambda df, bid: apply_batch(spark, cfg, ops, df, bid, spec=spec)
     ).option("checkpointLocation", cfg.checkpoint_dir)
     if available_now:
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
+        drain_pending(cfg.table_root)  # join the last batch's lineage
     else:
+        # continuous tail: caller owns the query; stop with
+        # q.stop() then drain_pending(cfg.table_root)
         q = writer.trigger(processingTime=processing_time).start()
         return q

@@ -285,10 +285,12 @@ def write_segments(
     for seg_id, seg in groups:
         p = os.path.join(out_dir, f"binlog-{seg_id:06d}.parquet")
         # micros on disk: Spark's vectorized reader rejects pandas'
-        # default nanosecond timestamps
+        # default nanosecond timestamps. zstd over default snappy:
+        # segment bytes are the serial-IO term of replay ingest, and
+        # decompression parallelizes while the disk queue does not.
         tbl = pa.Table.from_pandas(seg, preserve_index=False)
         pq.write_table(tbl, p, coerce_timestamps="us", allow_truncated_timestamps=True,
-                       row_group_size=20_000)
+                       row_group_size=20_000, compression="zstd", compression_level=3)
         paths.append(p)
     return paths
 

@@ -155,7 +155,9 @@ def main() -> None:
     p.add_argument("--num-buckets", type=int, default=32)
     p.add_argument("--max-files-per-trigger", type=int, default=4)
     p.add_argument("--seed", type=int, default=42)
-    p.add_argument("--stop-session", action="store_true", default=True)
+    p.add_argument(
+        "--stop-session", action=argparse.BooleanOptionalAction, default=True
+    )
     p.add_argument("--no-warmup", dest="warmup", action="store_false", default=True)
     print(json.dumps(run(p.parse_args())))
 

@@ -54,12 +54,14 @@ def main() -> None:
     p_hi = int(sys.argv[3]) if len(sys.argv) > 3 else 4 * p_lo
     work_dir = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp/etl_spark_bench")
 
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     # The sandbox host is virtualized with hypervisor CPU-steal spikes
     # (observed up to 40% `st` in top), which swings wall times +-25%.
     # Levels are therefore run back-to-back as a PAIR inside the same
-    # noise window, the pair is repeated, and the best pair (highest
-    # efficiency, i.e. least steal-distorted) is reported.
+    # noise window, the pair is repeated, and the MEDIAN pair (by
+    # efficiency) is the headline — a best-of-N would let a steal spike
+    # that slowed only the low-parallelism run inflate the number. The
+    # full per-pair spread is printed and recorded in BENCH.md.
     pairs = []
     for _ in range(repeats):
         lo = run_level(work_dir, n_events, p_lo)
@@ -67,9 +69,14 @@ def main() -> None:
         print(json.dumps(lo))
         print(json.dumps(hi))
         pairs.append((lo, hi))
-    r8, r32 = max(
+    ranked = sorted(
         pairs, key=lambda p: p[1]["events_per_sec"] / p[0]["events_per_sec"]
     )
+    r8, r32 = ranked[(len(ranked) - 1) // 2]  # median (lower-middle if even)
+    spread = [
+        round(p[1]["events_per_sec"] / p[0]["events_per_sec"] / (p_hi / p_lo), 3)
+        for p in ranked
+    ]
 
     assert r8["state_checksum"] == r32["state_checksum"], (
         "final state differs across parallelism levels!"
@@ -88,6 +95,7 @@ def main() -> None:
         "replay_s_hi": r32["replay_s"],
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(eff, 3),
+        "efficiency_spread": spread,
         "state_checksum_match": True,
     }
     print(json.dumps(summary))
@@ -98,11 +106,11 @@ CDC replay of the deterministic seeded binlog ({n_events:,} distinct
 change events, dup_rate 3%, disorder window 16, canonical 3-op schema
 evolution) through the full engine path (streaming file source →
 foreachBatch: version-routed parse → vectorized normalize → max-LSN
-resolve → bucket-pruned CoW MERGE → lineage manifest), identical input
+resolve → MERGE → pipelined lineage manifest), identical input
 corpus, two parallelism levels in separate JVMs (levels run
-back-to-back as a pair, best pair of {repeats} reported — the sandbox
-hypervisor shows CPU-steal spikes up to 40% that swing wall times
-+-25%):
+back-to-back as a pair; median pair of {repeats} by efficiency
+reported, spread {spread} — the sandbox hypervisor shows CPU-steal
+spikes up to 40% that swing wall times +-25%):
 
 | parallelism | replay wall (s) | throughput (events/s) |
 |---|---|---|
