@@ -380,6 +380,37 @@ FROM events
 """
 
 
+def q_fn_decimal_wei(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal(38,0) arithmetic end-to-end — the reference's UInt256
+    token-amount mapping (/root/reference/src/pipeline/core/spark.py:431,
+    create_tables.sql:47 `Nullable(UInt256)`): values scaled to wei-like
+    1e16 base units as exact decimals, aggregated per event_type. Both
+    engines compute in decimal (no float), so the hash check is exact
+    at magnitudes a long would overflow."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("decimal(19,0)")
+    wei = (cents * F.lit("10000000000000000").cast("decimal(19,0)")).cast(
+        "decimal(38,0)"
+    )
+    return ev.groupBy("event_type").agg(
+        F.sum(wei).cast("decimal(38,0)").alias("sum_wei"),
+        F.max(wei).cast("decimal(38,0)").alias("max_wei"),
+        F.count("*").alias("n"),
+    )
+
+
+SQL_FN_DECIMAL = """
+SELECT event_type,
+       CAST(sum(CAST(CAST(round(value*100) AS DECIMAL(19,0))
+                     * CAST('10000000000000000' AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_wei,
+       CAST(max(CAST(CAST(round(value*100) AS DECIMAL(19,0))
+                     * CAST('10000000000000000' AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS max_wei,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
 def q_nested_struct_access(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8/P10: struct construction then dot-path access (the
     networkToken flatten/rebuild pattern, spark.py:192-198 /
@@ -933,6 +964,7 @@ QUERIES = {
     "src_json_scan": q_src_json_scan,
     "src_csv_scan": q_src_csv_scan,
     "fn_datetime": q_fn_datetime,
+    "fn_decimal_wei": q_fn_decimal_wei,
     "nested_struct_access": q_nested_struct_access,
     "array_indexing": q_array_indexing,
     "agg_daily_metrics": q_agg_daily_metrics,
@@ -968,6 +1000,7 @@ ORACLES = {
     "src_json_scan": SQL_SRC_JSON,
     "src_csv_scan": SQL_SRC_CSV,
     "fn_datetime": SQL_FN_DATETIME,
+    "fn_decimal_wei": SQL_FN_DECIMAL,
     "nested_struct_access": SQL_NESTED_STRUCT,
     "array_indexing": SQL_ARRAY_INDEXING,
     "agg_daily_metrics": SQL_AGG_DAILY,

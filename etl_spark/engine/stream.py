@@ -13,9 +13,48 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
+from pyspark.sql import DataFrame, functions as F
+
 from etl_spark.cdc_schema import TRANSCRIPTS, SchemaOp, SourceSpec
 from etl_spark.config import EngineConfig
 from etl_spark.engine.apply import apply_batch, drain_pending
+from etl_spark.lake.table import spark_type
+
+
+def binlog_from_kafka(df: DataFrame, spec: SourceSpec = TRANSCRIPTS) -> DataFrame:
+    """Adapt a Kafka-shaped frame — the exact `format("kafka")` output
+    schema (key/value binary, topic, partition, offset, timestamp,
+    timestampType; reference consumer:
+    /root/reference/src/pipeline/core/kafka_multi_consumer.py:39-46) —
+    onto the engine's binlog frame. The message value is a JSON
+    envelope {lsn, op, <key cols>, schema_version, payload:{...}}; the
+    nested payload object is kept as its raw JSON text (version-routed
+    decode happens downstream in parse_events, exactly as for the file
+    source). One `json_tuple` parse per row, all JVM expressions.
+
+    Production swap: `spark.readStream.format("kafka")...load()` then
+    `binlog_from_kafka(stream, spec)`; everything downstream of the
+    source line is unchanged.
+    """
+    v = F.col("value").cast("string")
+    fields = ["lsn", "op", *spec.key, "schema_version", "payload"]
+    parsed = df.select(
+        F.col("timestamp").alias("op_ts"),
+        F.json_tuple(v, *fields).alias(*[f"_j{i}" for i in range(len(fields))]),
+    )
+    types = dict(spec.base_fields)
+    cols = [
+        F.col("_j0").cast("long").alias("lsn"),
+        F.col("_j1").alias("op"),
+    ]
+    for i, k in enumerate(spec.key):
+        cols.append(F.col(f"_j{2 + i}").cast(spark_type(types[k])).alias(k))
+    cols += [
+        F.col("op_ts"),
+        F.col(f"_j{2 + len(spec.key)}").cast("int").alias("schema_version"),
+        F.col(f"_j{3 + len(spec.key)}").alias("payload"),
+    ]
+    return parsed.select(*cols)
 
 
 def run_replay(

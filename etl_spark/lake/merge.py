@@ -17,7 +17,13 @@ driver round-trips). Here the same semantics are one distributed plan:
   5. rewrite the touched buckets; atomic manifest swap publishes.
 
 Source contract: exactly one row per key (run engine.resolve first),
-columns = current logical schema + `op` ('I'|'U'|'D') + `lsn`.
+columns = current logical schema + `op` ('I'|'U'|'D') + `lsn`; rows
+that re-emit the same (key, lsn) MUST be byte-identical (at-least-once
+re-delivery of the same event). Under that contract `max_by` ties are
+deterministic with no explicit dropDuplicates pass; the lineage ledger
+records per-batch `events_in` vs `events_distinct` so a source that
+violates it is visible in the audit trail (events_in > events_distinct
+with differing payloads would show as cross-run checksum drift).
 """
 
 from __future__ import annotations
@@ -64,53 +70,61 @@ def merge_into(
         ).withColumn(BUCKET_COL, table.bucket_expr(m))
         return table.append_files(delta, batch_key=batch_key, batch_stats=batch_stats)
 
-    src = source.withColumn(BUCKET_COL, table.bucket_expr(m))
-    # Bounded driver transfer: one int per touched bucket (<= num_buckets).
-    touched = sorted(
-        r[0] for r in src.select(BUCKET_COL).distinct().collect()
-    )
-    if not touched:
-        return m.version
-
-    tgt = table.read_raw(buckets=touched)
-
-    s = src.select(
-        *[F.col(k).alias(f"_s_{k}") for k in key],
-        *[F.col(c).alias(f"_s_{c}") for c in payload_cols],
-        F.col(OP_COL).alias("_s_op"),
-        F.col(LSN_COL).alias("_s_lsn"),
-    )
-    cond = None
-    for k in key:
-        c = tgt[k].eqNullSafe(s[f"_s_{k}"])
-        cond = c if cond is None else (cond & c)
-    j = tgt.join(s, cond, "full_outer")
-
-    take_src = F.col("_s_lsn").isNotNull() & (
-        F.col(SYS_LSN).isNull() | (F.col("_s_lsn") > F.col(SYS_LSN))
-    )
-    is_del = F.col("_s_op") == F.lit("D")
-
-    out_cols = []
-    for k in key:
-        out_cols.append(F.coalesce(s[f"_s_{k}"], tgt[k]).alias(k))
-    for c in payload_cols:
-        out_cols.append(
-            F.when(take_src & ~is_del, s[f"_s_{c}"])
-            .when(take_src & is_del, F.lit(None))
-            .otherwise(tgt[c])
-            .alias(c)
+    # Persist the source across the two CoW consumers (bucket-discovery
+    # action, then the key join): without it the caller's whole upstream
+    # pipeline re-runs per consumer. The engine path arrives already
+    # persisted (engine/apply.py) — persist() there is a no-op marker —
+    # and direct merge_into callers get the same guarantee here.
+    src = source.withColumn(BUCKET_COL, table.bucket_expr(m)).persist()
+    try:
+        # Bounded driver transfer: one int per touched bucket (<= num_buckets).
+        touched = sorted(
+            r[0] for r in src.select(BUCKET_COL).distinct().collect()
         )
-    out_cols.append(
-        F.when(take_src, s["_s_lsn"]).otherwise(tgt[SYS_LSN]).alias(SYS_LSN)
-    )
-    out_cols.append(
-        F.when(take_src, is_del)
-        .otherwise(F.coalesce(tgt[SYS_DELETED], F.lit(False)))
-        .alias(SYS_DELETED)
-    )
-    merged = j.select(*out_cols).withColumn(BUCKET_COL, table.bucket_expr(m))
+        if not touched:
+            return m.version
 
-    return table.overwrite_buckets(
-        merged, touched, batch_key=batch_key, batch_stats=batch_stats
-    )
+        tgt = table.read_raw(buckets=touched)
+
+        s = src.select(
+            *[F.col(k).alias(f"_s_{k}") for k in key],
+            *[F.col(c).alias(f"_s_{c}") for c in payload_cols],
+            F.col(OP_COL).alias("_s_op"),
+            F.col(LSN_COL).alias("_s_lsn"),
+        )
+        cond = None
+        for k in key:
+            c = tgt[k].eqNullSafe(s[f"_s_{k}"])
+            cond = c if cond is None else (cond & c)
+        j = tgt.join(s, cond, "full_outer")
+
+        take_src = F.col("_s_lsn").isNotNull() & (
+            F.col(SYS_LSN).isNull() | (F.col("_s_lsn") > F.col(SYS_LSN))
+        )
+        is_del = F.col("_s_op") == F.lit("D")
+
+        out_cols = []
+        for k in key:
+            out_cols.append(F.coalesce(s[f"_s_{k}"], tgt[k]).alias(k))
+        for c in payload_cols:
+            out_cols.append(
+                F.when(take_src & ~is_del, s[f"_s_{c}"])
+                .when(take_src & is_del, F.lit(None))
+                .otherwise(tgt[c])
+                .alias(c)
+            )
+        out_cols.append(
+            F.when(take_src, s["_s_lsn"]).otherwise(tgt[SYS_LSN]).alias(SYS_LSN)
+        )
+        out_cols.append(
+            F.when(take_src, is_del)
+            .otherwise(F.coalesce(tgt[SYS_DELETED], F.lit(False)))
+            .alias(SYS_DELETED)
+        )
+        merged = j.select(*out_cols).withColumn(BUCKET_COL, table.bucket_expr(m))
+
+        return table.overwrite_buckets(
+            merged, touched, batch_key=batch_key, batch_stats=batch_stats
+        )
+    finally:
+        src.unpersist()

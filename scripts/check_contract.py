@@ -63,7 +63,7 @@ def main() -> int:
         if sql is None:
             print(f"ok    {name}: rows-only ({len(got)} rows) "
                   f"[{time.time()-t0:.1f}s]")
-            if len(got) == 0 and name != "dedup_simhash":
+            if len(got) == 0:
                 failures.append((name, "rows-only query returned 0 rows"))
             continue
         try:

@@ -1,0 +1,80 @@
+"""Multi-entity routing: one shared changelog feeding two lake tables
+through one streaming query (the reference's 18-topic fan-out analog,
+/root/reference/src/pipeline/core/client_clickhouse.py:39-58)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from etl_spark.config import EngineConfig
+from etl_spark.cdc_schema import TRANSCRIPTS
+from etl_spark.engine import lineage
+from etl_spark.engine.route import run_replay_routed
+from etl_spark.gen.binlog import (
+    GenConfig,
+    gen_base,
+    gen_binlog,
+    gen_schema_ops,
+    write_segments,
+)
+from etl_spark.gen.oracle import replay_oracle
+from etl_spark.pipeline import bootstrap, final_state
+from tests.util import assert_frames_equal
+
+
+def _cfg(tmp_path, name: str) -> EngineConfig:
+    return EngineConfig(
+        table_root=str(tmp_path / name / "tbl"),
+        manifest_dir=str(tmp_path / name / "manifest"),
+        checkpoint_dir=str(tmp_path / name / "ckpt"),  # unused (shared stream ckpt)
+        num_buckets=8,
+    )
+
+
+def test_two_targets_one_log(spark, tmp_path):
+    """Two entities with INDEPENDENT schema-evolution tracks (A runs
+    the canonical 3-op script, B stays at base schema) interleaved in
+    one segment stream: one streaming query routes each micro-batch
+    into both tables; each table's final state matches its own
+    per-entity oracle and its lineage covers its own LSN space —
+    i.e. per-entity schema registries and ledgers don't interfere."""
+    gA = GenConfig(
+        seed=11, n_convs=5, n_events=120, dup_rate=0.08, disorder_window=4,
+        segment_size=40, schema_op_fracs=(0.3, 0.6, 0.9),
+    )
+    gB = GenConfig(
+        seed=22, n_convs=4, n_events=120, dup_rate=0.05, disorder_window=4,
+        segment_size=40, schema_op_fracs=(),
+    )
+    baseA, baseB = gen_base(gA), gen_base(gB)
+    opsA, opsB = gen_schema_ops(gA), gen_schema_ops(gB)
+    binA = gen_binlog(gA, baseA, opsA)
+    binB = gen_binlog(gB, baseB, opsB)
+    binA["entity"] = "convA"
+    binB["entity"] = "convB"
+    combined = pd.concat([binA, binB], ignore_index=True)
+    seg_dir = str(tmp_path / "segments")
+    write_segments(combined, seg_dir)  # each segment file carries both
+
+    cfgA, cfgB = _cfg(tmp_path, "A"), _cfg(tmp_path, "B")
+    routes = {
+        "convA": (cfgA, opsA, TRANSCRIPTS),
+        "convB": (cfgB, opsB, TRANSCRIPTS),
+    }
+    bootstrap(spark, cfgA, baseA)
+    bootstrap(spark, cfgB, baseB)
+    run_replay_routed(
+        spark, seg_dir, routes, str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+
+    assert_frames_equal(final_state(spark, cfgA), replay_oracle(baseA, binA, opsA))
+    assert_frames_equal(final_state(spark, cfgB), replay_oracle(baseB, binB, opsB))
+    invA = lineage.check_invariants(spark, cfgA.manifest_dir)
+    invB = lineage.check_invariants(spark, cfgB.manifest_dir)
+    assert invA["events_distinct_total"] == gA.n_events
+    assert invB["events_distinct_total"] == gB.n_events
+    # A evolved (schema_id 3 = all ops applied); B stayed at base
+    from etl_spark.lake.table import LakeTable
+
+    assert LakeTable(spark, cfgA.table_root).manifest().schema.schema_id == 3
+    assert LakeTable(spark, cfgB.table_root).manifest().schema.schema_id == 0

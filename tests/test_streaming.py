@@ -88,3 +88,134 @@ def test_restart_with_no_new_data_is_noop(spark, tmp_path):
         spark, cfg.table_root
     ).current_version()
     assert v_after == v_before
+
+
+def test_continuous_tail_with_live_writer(spark, tmp_path):
+    """Continuous (non-availableNow) tail mode — the reference's
+    forever-loop (/root/reference/src/pipeline/core/
+    client_clickhouse.py:177-206) — with a writer appending segments
+    WHILE the query runs on a processingTime trigger: final state
+    equals the oracle, maxFilesPerTrigger bounds every micro-batch,
+    and lineage covers the log."""
+    import time
+
+    from etl_spark.engine.apply import drain_all_pending
+    from etl_spark.engine.stream import run_replay
+
+    g = GenConfig(
+        n_convs=6, n_events=240, dup_rate=0.1, disorder_window=5,
+        segment_size=30, schema_op_fracs=(0.2, 0.5, 0.8),
+    )
+    base = gen_base(g)
+    ops = gen_schema_ops(g)
+    binlog = gen_binlog(g, base, ops)
+    seg_dir = str(tmp_path / "segments")
+    segs = sorted(binlog["_seg"].unique())
+    assert len(segs) == 8
+
+    def write_slice(sids):
+        write_segments(binlog[binlog["_seg"].isin(sids)], seg_dir)
+
+    write_slice(segs[:2])
+    cfg = EngineConfig(
+        table_root=str(tmp_path / "tbl"),
+        manifest_dir=str(tmp_path / "manifest"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        num_buckets=8,
+        max_files_per_trigger=2,
+    )
+    bootstrap(spark, cfg, base)
+    q = run_replay(
+        spark, seg_dir, cfg, ops,
+        available_now=False, processing_time="500 milliseconds",
+    )
+    try:
+        for s in segs[2:]:
+            time.sleep(0.7)
+            write_slice([s])
+        deadline = time.time() + 120
+        done = False
+        while time.time() < deadline and not done:
+            try:
+                inv = lineage.check_invariants(spark, cfg.manifest_dir)
+                done = (
+                    inv["max_lsn"] == g.n_events
+                    and inv["events_distinct_total"] >= g.n_events
+                )
+            except Exception:
+                pass
+            if not done:
+                time.sleep(1.0)
+        assert done, "continuous tail did not apply the full log in time"
+    finally:
+        q.stop()
+        q.awaitTermination()
+        drain_all_pending()
+
+    assert_frames_equal(final_state(spark, cfg), replay_oracle(base, binlog, ops))
+    inv = lineage.check_invariants(spark, cfg.manifest_dir)
+    assert inv["events_distinct_total"] == g.n_events
+    assert inv["batches"] >= 4  # mft=2 over 8 segments
+    mdf = lineage.read_manifest(spark, cfg.manifest_dir).toPandas()
+    per_batch_events = mdf.groupby("batch_id")["batch_events_in"].max()
+    # maxFilesPerTrigger bound: <= 2 segments' rows (incl. ~10% dups)
+    assert (per_batch_events <= 2 * int(g.segment_size * (1 + g.dup_rate) + 2)).all()
+
+
+def test_cross_segment_redelivery_tolerated(spark, tmp_path):
+    """A real at-least-once source may re-deliver an event into a
+    LATER segment (past the original's batch). The MERGE LSN guard
+    keeps state exact; the lineage checker must report the overlap
+    instead of raising (VERDICT r01 'What's wrong' #3), while still
+    treating gaps as fatal."""
+    _, base, ops, binlog, seg_dir, _ = gen_all(tmp_path)
+    dup = binlog[binlog["_seg"] == 0].head(10).copy()
+    dup["_seg"] = int(binlog["_seg"].max()) + 1
+    write_segments(dup, seg_dir)
+
+    cfg = make_cfg(tmp_path)
+    bootstrap(spark, cfg, base)
+    replay(spark, cfg, seg_dir, ops)
+    # final state identical to the oracle over the ORIGINAL log: the
+    # re-delivered (key, lsn) rows are annihilated by the LSN guard
+    assert_frames_equal(final_state(spark, cfg), replay_oracle(base, binlog, ops))
+    inv = lineage.check_invariants(spark, cfg.manifest_dir)
+    assert inv["overlapping_batches"], "re-delivery must be reported as overlap"
+    assert inv["max_lsn"] == 150
+
+
+def test_kafka_shaped_source_frame(spark, tmp_path):
+    """Pin the production source swap claimed in engine/stream.py: a
+    frame with the exact format('kafka') output schema (key/value
+    binary, topic, partition, offset, timestamp, timestampType) parses
+    to the identical binlog frame, and the full downstream path applied
+    to it reproduces the oracle state."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.engine.apply import apply_batch, drain_all_pending
+    from etl_spark.engine.stream import binlog_from_kafka
+    from etl_spark.cdc_schema import TRANSCRIPTS
+
+    _, base, ops, binlog, seg_dir, _ = gen_all(tmp_path)
+    bdf = spark.read.schema(TRANSCRIPTS.binlog_schema()).parquet(seg_dir)
+    kafka = bdf.select(
+        F.col("conv_id").cast("binary").alias("key"),
+        F.to_json(
+            F.struct("lsn", "op", "conv_id", "turn_idx", "schema_version", "payload")
+        ).cast("binary").alias("value"),
+        F.lit("cdc.transcripts").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.col("lsn").alias("offset"),
+        F.col("op_ts").alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+    out = binlog_from_kafka(kafka)
+    got = out.toPandas().sort_values(["lsn", "op_ts"]).reset_index(drop=True)
+    exp = bdf.toPandas().sort_values(["lsn", "op_ts"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp)
+
+    cfg = make_cfg(tmp_path)
+    bootstrap(spark, cfg, base)
+    apply_batch(spark, cfg, ops, out, batch_id=0)
+    drain_all_pending()
+    assert_frames_equal(final_state(spark, cfg), replay_oracle(base, binlog, ops))
