@@ -15,15 +15,16 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_spark.contract import ORACLES, QUERIES, q_cdc_merge_upsert
+from etl_spark.contract import ORACLES, QUERIES, q_cdc_events_replay
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: CDC upsert replay of the sf0.001 events changelog
-    through the bucket-pruned copy-on-write MERGE (bootstrap from the
-    first half, two incremental batches for the rest), returning the
-    final table state (last-writer-wins per (user_id, event_type))."""
-    return q_cdc_merge_upsert(spark, "/root/testdata/sf0.001")
+    """Flagship: CDC replay of the sf0.001 events changelog through the
+    REAL streaming engine — file-source micro-batches, checkpoint,
+    foreachBatch, footer stats, max-LSN resolve, ledgered MERGE commits,
+    pipelined lineage — returning the final table state
+    (last-writer-wins per (user_id, event_type))."""
+    return q_cdc_events_replay(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

