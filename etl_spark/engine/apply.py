@@ -161,14 +161,20 @@ def evolve_due_ops(table: LakeTable, ops: list[SchemaOp], max_lsn: int) -> int:
 def _batch_files_from_checkpoint(checkpoint_dir: str, batch_id: int) -> list[str]:
     """The streaming file source's offset log records exactly the
     files added in each micro-batch (`<ckpt>/sources/0/<batch_id>`,
-    one JSON entry per file). Reading it is a driver-side O(#files)
-    metadata lookup. Returns [] when unavailable (non-streaming frame,
-    compacted log, or a non-file source)."""
+    one JSON entry per file). Every `compactInterval`-th batch is
+    written as `<batch_id>.compact` instead, containing ALL entries so
+    far tagged with their batchId — filter to this batch's. Reading it
+    is a driver-side O(#files) metadata lookup. Returns [] when
+    unavailable (non-streaming frame or a non-file source)."""
     import json
 
     path = os.path.join(checkpoint_dir, "sources", "0", str(batch_id))
+    compacted = False
     if not os.path.exists(path):
-        return []
+        path = path + ".compact"
+        compacted = True
+        if not os.path.exists(path):
+            return []
     out = []
     try:
         with open(path) as fh:
@@ -176,8 +182,11 @@ def _batch_files_from_checkpoint(checkpoint_dir: str, batch_id: int) -> list[str
                 line = line.strip()
                 if line.startswith("{"):
                     entry = json.loads(line)
-                    if "path" in entry:
-                        out.append(entry["path"])
+                    if "path" not in entry:
+                        continue
+                    if compacted and entry.get("batchId") != batch_id:
+                        continue
+                    out.append(entry["path"])
     except Exception:
         return []
     return out

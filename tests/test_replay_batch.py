@@ -91,3 +91,80 @@ def test_batch_replay_idempotent(spark, tmp_path):
     apply_batch(spark, cfg, ops, df, 0)
     after = final_state(spark, cfg).toPandas()
     pd.testing.assert_frame_equal(before, after)
+
+
+def test_crash_window_heals_missing_lineage(spark, tmp_path):
+    """Exactly-once crash window: the MERGE ledger commit and the
+    lineage write are two steps; a crash between them leaves a
+    committed batch with no lineage file. Replaying the same batch_id
+    must (a) NOT re-apply the merge (table version unchanged) and
+    (b) recompute and rewrite the lineage file."""
+    import os
+
+    from etl_spark.engine import lineage as L
+    from etl_spark.engine.apply import apply_batch, drain_all_pending
+    from etl_spark.lake.table import LakeTable
+
+    g = GenConfig(
+        n_convs=5, n_events=80, dup_rate=0.1, disorder_window=6,
+        segment_size=40, schema_op_fracs=(0.3, 0.6, 0.9),
+    )
+    base = gen_base(g)
+    ops = gen_schema_ops(g)
+    binlog = gen_binlog(g, base, ops)
+    cfg = EngineConfig(
+        table_root=str(tmp_path / "tbl"),
+        manifest_dir=str(tmp_path / "manifest"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        num_buckets=8,
+    )
+    bootstrap(spark, cfg, base)
+    seg = binlog[binlog["_seg"] == 0].drop(columns="_seg")
+    df = spark.createDataFrame(seg)
+    df = df.withColumn("turn_idx", F.col("turn_idx").cast("int")).withColumn(
+        "schema_version", F.col("schema_version").cast("int")
+    )
+    apply_batch(spark, cfg, ops, df, batch_id=0)
+    drain_all_pending()
+    state_before = final_state(spark, cfg).toPandas()
+    v_before = LakeTable(spark, cfg.table_root).current_version()
+    lf = os.path.join(cfg.manifest_dir, "batch-0000000000.parquet")
+    assert os.path.exists(lf)
+    os.remove(lf)  # simulate crash between ledger commit and lineage write
+
+    apply_batch(spark, cfg, ops, df, batch_id=0)  # replayed epoch
+    drain_all_pending()
+    assert os.path.exists(lf), "lineage must be healed on replay"
+    assert LakeTable(spark, cfg.table_root).current_version() == v_before
+    pd.testing.assert_frame_equal(final_state(spark, cfg).toPandas(), state_before)
+    inv = L.check_invariants(spark, cfg.manifest_dir)
+    assert inv["batches"] == 1
+
+
+def test_batch_files_from_compacted_offset_log(tmp_path):
+    """Every compactInterval-th batch the file source writes
+    `<id>.compact` holding ALL entries tagged by batchId; the footer
+    stats reader must filter to the requested batch only."""
+    import json
+    import os
+
+    from etl_spark.engine.apply import _batch_files_from_checkpoint
+
+    d = tmp_path / "ckpt" / "sources" / "0"
+    os.makedirs(d)
+    with open(d / "3", "w") as fh:
+        fh.write("v1\n")
+        fh.write(json.dumps({"path": "file:///seg/c.parquet", "timestamp": 1, "batchId": 3}) + "\n")
+    with open(d / "9.compact", "w") as fh:
+        fh.write("v1\n")
+        for b, name in [(8, "a"), (9, "b"), (9, "b2"), (7, "x")]:
+            fh.write(json.dumps({"path": f"file:///seg/{name}.parquet", "timestamp": 1, "batchId": b}) + "\n")
+
+    assert _batch_files_from_checkpoint(str(tmp_path / "ckpt"), 3) == [
+        "file:///seg/c.parquet"
+    ]
+    assert _batch_files_from_checkpoint(str(tmp_path / "ckpt"), 9) == [
+        "file:///seg/b.parquet",
+        "file:///seg/b2.parquet",
+    ]
+    assert _batch_files_from_checkpoint(str(tmp_path / "ckpt"), 5) == []
