@@ -302,9 +302,12 @@ def apply_batch(
     t = _tlog(batch_id, "drain+ledger", t0)
     use_footers = footer_stats and not cfg.use_watermark_dedup
     stats_src = None
+    n_src_files = None
     if use_footers:
         files = _batch_files_from_checkpoint(cfg.checkpoint_dir, batch_id)
         stats_src = _stats_from_footers(batch_df, files or None)
+        if stats_src is not None and files:
+            n_src_files = len(files)
     stats_src = stats_src or _stats_from_agg(batch_df)
     if stats_src["events_in"] == 0:
         return
@@ -319,20 +322,24 @@ def apply_batch(
     # the footer min/max of schema_version bounds the branch set
     versions = list(range(stats_src["vmin"], stats_src["vmax"] + 1))
 
-    # 2. spread the batch across the cluster BEFORE the narrow parse/
-    #    normalize stages: a micro-batch arrives as few source files
-    #    (often one row-group each, unsplittable), so without this the
-    #    map side runs on #files tasks regardless of cores.
-    #    Partitioned on the RESOLVE KEY (conv_id, turn_idx): Catalyst
-    #    then elides the exchange under the max-LSN aggregation — one
-    #    shuffle serves both stages — and a hot conversation still
-    #    spreads across tasks via its turn_idx spread. For the
-    #    pathological single-(conv,turn) hot key, cfg.salt_buckets
+    # 2. ensure the narrow parse/normalize stages have enough map-side
+    #    parallelism. A micro-batch of >= `width` source files already
+    #    has it (one task per file): skip the explicit repartition and
+    #    let the resolve aggregation's OWN exchange distribute by key —
+    #    that exchange carries parsed, typed, partial-agg-collapsed
+    #    rows, strictly smaller than the raw payload rows an up-front
+    #    repartition would shuffle (on a multi-executor cluster this is
+    #    the difference between one cross-JVM shuffle of raw JSON and
+    #    one of resolved rows). Only a batch of FEWER files than cores
+    #    (unsplittable row groups) pays the up-front repartition,
+    #    partitioned on the resolve key so Catalyst elides the exchange
+    #    under the max-LSN aggregation — one shuffle either way. For
+    #    the pathological single-(conv,turn) hot key, cfg.salt_buckets
     #    switches to the salted two-phase layout instead.
     width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if cfg.salt_buckets:
         batch_df = salted_repartition(batch_df, spec.bucket_by, width, salt=8)
-    else:
+    elif n_src_files is None or n_src_files < width:
         batch_df = batch_df.repartition(width, *[F.col(k) for k in spec.key])
 
     # 3. parse by version -> current schema (JVM from_json + casts);

@@ -35,7 +35,12 @@ def get_spark(
         os.environ["PYTHONPATH"] = f"{pkg_root}{os.pathsep}{pp}" if pp else pkg_root
 
     cores = parallelism or os.environ.get("SPARK_GRAFT_CPUS")
-    master = f"local[{cores}]" if cores else "local[*]"
+    # SPARK_GRAFT_MASTER=spark://host:7077 switches to a real cluster
+    # (standalone/yarn URL): executors are separate JVMs on workers,
+    # the package ships via spark.submit.pyFiles (the --py-files path),
+    # and `parallelism` means TOTAL executor cores across the cluster.
+    cluster = os.environ.get("SPARK_GRAFT_MASTER")
+    master = cluster or (f"local[{cores}]" if cores else "local[*]")
     n_shuffle = shuffle_partitions or (int(cores) if cores else 32)
     builder = (
         SparkSession.builder.master(master)
@@ -67,6 +72,15 @@ def get_spark(
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
     )
+    if cluster:
+        pyz = os.path.join(pkg_root, "dist", "etl_spark.zip")
+        if os.path.exists(pyz):
+            builder = builder.config("spark.submit.pyFiles", pyz)
+        builder = (
+            builder.config("spark.executor.cores", os.environ.get("SPARK_GRAFT_EXECUTOR_CORES", "1"))
+            .config("spark.executor.memory", os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "3g"))
+            .config("spark.cores.max", str(cores) if cores else "4")
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
