@@ -618,6 +618,54 @@ FROM h
 """
 
 
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality scoring for training-data filtering: integer
+    ratio features (percent floors — no float ambiguity) plus a
+    keep/review/drop band, the shape of a C4/Gopher-style rule
+    filter."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = TX.token_count(t)
+    stop_pct = F.floor(F.lit(100) * TX.stopword_count(t) / toks).cast("int")
+    punct_pct = F.floor(F.lit(100) * TX.punct_count(t) / TX.char_count(t)).cast("int")
+    digit_pct = F.floor(F.lit(100) * TX.digit_count(t) / TX.char_count(t)).cast("int")
+    band = (
+        F.when((toks < 5) | (digit_pct > 30), "drop")
+        .when((stop_pct >= 10) & (punct_pct <= 20), "keep")
+        .otherwise("review")
+    )
+    return docs.select(
+        "doc_id",
+        toks.alias("n_tokens"),
+        stop_pct.alias("stop_pct"),
+        punct_pct.alias("punct_pct"),
+        digit_pct.alias("digit_pct"),
+        band.alias("band"),
+    )
+
+
+SQL_TEXT_QUALITY = """
+WITH f AS (
+  SELECT doc_id,
+    CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS INTEGER) AS n_tokens,
+    len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+        t -> list_contains(['the','a','of','and','to','in','is','that'], t))) AS n_stop,
+    length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+    length(text) AS n_chars
+  FROM documents)
+SELECT doc_id, n_tokens,
+       CAST(floor(100 * n_stop / n_tokens) AS INTEGER) AS stop_pct,
+       CAST(floor(100 * n_punct / n_chars) AS INTEGER) AS punct_pct,
+       CAST(floor(100 * n_digit / n_chars) AS INTEGER) AS digit_pct,
+       CASE WHEN n_tokens < 5 OR floor(100 * n_digit / n_chars) > 30 THEN 'drop'
+            WHEN floor(100 * n_stop / n_tokens) >= 10
+                 AND floor(100 * n_punct / n_chars) <= 20 THEN 'keep'
+            ELSE 'review' END AS band
+FROM f
+"""
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
@@ -789,6 +837,41 @@ WHERE rank <= 3
 _SQL_BUCKET4 = " + ".join(
     f"(CASE WHEN v[{i+1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(4)
 )
+
+
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell ANN: assignment to 8 deterministic coarse centroids
+    (corpus prefix; production k-means has the identical shape), then
+    top-k restricted to the query's cell — the data-adaptive
+    complement to sign-LSH bucketing."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.ivf_topk(emb, queries, cents, k=3, dim=64)
+
+
+SQL_SIM_IVF_TOPK = _SQL_COS + """
+c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
+scored AS (SELECT e.vec_id, e.v, c.cell,
+                  list_dot_product(e.v, c.cv)
+                    - 0.5 * list_dot_product(c.cv, c.cv) AS s
+           FROM e CROSS JOIN c),
+assign AS (SELECT vec_id, v, cell
+           FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY s DESC, cell DESC) AS rn
+                 FROM scored)
+           WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv, cell FROM assign WHERE vec_id < 10),
+s AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+             list_dot_product(q.qv, a.v)
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(a.v, a.v))) AS score
+      FROM q JOIN assign a ON a.cell = q.cell AND a.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id ASC) AS rank
+      FROM s)
+WHERE rank <= 3
+"""
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -972,6 +1055,7 @@ QUERIES = {
     "tpch_q3_topk": q_tpch_q3_topk,
     "text_token_stats": q_text_token_stats,
     "text_lang_id": q_text_lang_id,
+    "text_quality": q_text_quality,
     "text_fingerprint": q_text_fingerprint,
     "dedup_exact_docs": q_dedup_exact_docs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -979,6 +1063,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_lsh_ann_topk": q_sim_lsh_ann_topk,
+    "sim_ivf_topk": q_sim_ivf_topk,
     "embedding_neardup": q_embedding_neardup,
     "mm_binary_metadata": q_mm_binary_metadata,
     "mm_decode_features": q_mm_decode_features,
@@ -1008,12 +1093,14 @@ ORACLES = {
     "tpch_q3_topk": SQL_TPCH_Q3,
     "text_token_stats": SQL_TEXT_TOKEN_STATS,
     "text_lang_id": SQL_TEXT_LANG_ID,
+    "text_quality": SQL_TEXT_QUALITY,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "dedup_exact_docs": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
     "sim_cosine_topk": SQL_SIM_COSINE_TOPK,
     "sim_lsh_ann_topk": SQL_SIM_LSH_ANN,
+    "sim_ivf_topk": SQL_SIM_IVF_TOPK,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "mm_binary_metadata": SQL_MM_BINARY,
     "cdc_events_replay": SQL_CDC_EVENTS_REPLAY,

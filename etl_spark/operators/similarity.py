@@ -153,6 +153,78 @@ def lsh_ann_topk(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Assign every vector to its nearest coarse centroid (IVF cell):
+    argmax over cells of dot(v, c) - 0.5*||c||^2 (equivalent to
+    nearest-centroid by L2). One broadcast of the (small) centroid set
+    and one corpus aggregation keyed on the vector id — the 8x-or-so
+    pre-aggregation expansion collapses map-side, so the corpus
+    shuffles once, building the inverted file. At 10^9 vectors the
+    cell column then acts as the partition key: searches prune to
+    n_probe cells exactly like partition pruning on a lake table.
+
+    Centroids here come from the caller (tests/contract use a
+    deterministic corpus prefix; production would k-means — the
+    assignment/search shape is identical). Returns
+    (id, cell, vec-as-double)."""
+    c = centroids.select(
+        F.col(id_col).alias("_cell"), as_double(F.col(vec_col)).alias("_cv")
+    )
+    v = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("_v"))
+    score = dot(F.col("_v"), F.col("_cv"), dim) - 0.5 * dot(
+        F.col("_cv"), F.col("_cv"), dim
+    )
+    scored = v.crossJoin(F.broadcast(c)).withColumn("_s", score)
+    # argmax by (score, cell) — lexicographic struct order gives a
+    # deterministic larger-cell tie-break, mirrored in the SQL oracle
+    ordk = F.struct(F.col("_s"), F.col("_cell"))
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.max_by(F.col("_cell"), ordk).alias("cell"),
+            F.max_by(F.col("_v"), ordk).alias("_v"),
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) ANN top-k: queries search only their own
+    cell's posting list. Same output shape as cosine_topk/lsh_ann_topk
+    (query_id, neighbor_id, rank). Complements sign-LSH: cells adapt
+    to the data distribution where hyperplane buckets are oblivious."""
+    inv = ivf_assign(corpus, centroids, id_col, vec_col, dim)
+    q = ivf_assign(queries, centroids, id_col, vec_col, dim).select(
+        F.col("id").alias("query_id"), "cell", F.col("_v").alias("_qv")
+    )
+    scored = (
+        inv.join(F.broadcast(q), "cell")
+        .filter(F.col("id") != F.col("query_id"))
+        .withColumn("score", cosine(F.col("_qv"), F.col("_v"), dim))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("id").alias("neighbor_id"), "rank")
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
