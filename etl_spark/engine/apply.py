@@ -37,13 +37,11 @@ from pyspark.sql import DataFrame, functions as F, types as T
 
 from etl_spark.cdc_schema import (
     BASE_VERSION,
-    KEY,
     TRANSCRIPTS,
     SchemaOp,
     SourceSpec,
     fields_at_version,
     payload_fields,
-    version_at_lsn,
 )
 from etl_spark.config import EngineConfig
 from etl_spark.engine import lineage

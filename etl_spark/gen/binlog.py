@@ -32,13 +32,11 @@ import numpy as np
 import pandas as pd
 
 from etl_spark.cdc_schema import (
-    BASE_VERSION,
     SchemaOp,
     canonical_ops,
     payload_fields,
     version_at_lsn,
 )
-from etl_spark.engine.normalize import normalize_text_py
 
 BASE_EPOCH = pd.Timestamp("2026-01-01T00:00:00Z").tz_localize(None)  # UTC wall time
 VOCAB = (

@@ -6,7 +6,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from etl_spark.cdc_schema import KEY, TRANSCRIPTS, SchemaOp, SourceSpec
+from etl_spark.cdc_schema import TRANSCRIPTS, SchemaOp, SourceSpec
 from etl_spark.config import EngineConfig
 from etl_spark.engine.stream import run_replay
 from etl_spark.lake.table import LakeTable
