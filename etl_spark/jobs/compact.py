@@ -1,0 +1,59 @@
+"""Maintenance entry point: bound per-bucket delta-file counts on a
+merge-on-read table (Iceberg's rewrite_data_files analog).
+
+At 10^10-row scale this runs as a scheduled job off the ingest path:
+the streaming writer appends O(batch) delta files per micro-batch and
+this job periodically collapses buckets whose live-file count exceeds
+the bound, committing a new snapshot atomically (readers keep seeing
+the old snapshot until the manifest swap). The ingest query never
+blocks — compaction and appends race only at the manifest O_EXCL
+create, and the loser simply retries on the next cycle.
+
+Usage:
+    python -m etl_spark.jobs.compact --table-root /path/to/tbl \
+        [--max-files-per-bucket 4] [--parallelism 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--table-root", required=True)
+    p.add_argument("--max-files-per-bucket", type=int, default=4)
+    p.add_argument("--parallelism", type=int, default=8)
+    args = p.parse_args()
+
+    from etl_spark.lake.table import LakeTable
+    from etl_spark.session import get_spark
+
+    spark = get_spark(
+        "lake_compact", parallelism=args.parallelism,
+        shuffle_partitions=args.parallelism,
+    )
+    table = LakeTable(spark, args.table_root)
+    before = table.manifest()
+    files_before = len(before.files)
+    version = table.compact(args.max_files_per_bucket)
+    after = table.manifest()
+    print(
+        json.dumps(
+            {
+                "job": "lake_compact",
+                "table_root": args.table_root,
+                "version_before": before.version,
+                "version_after": version,
+                "files_before": files_before,
+                "files_after": len(after.files),
+                "compacted": version != before.version,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
