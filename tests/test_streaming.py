@@ -260,3 +260,22 @@ def test_time_travel_read(spark, tmp_path):
     pd.testing.assert_frame_equal(before, again)
     # the current version reflects the full replay
     assert table.read(version=v1).count() == final_state(spark, cfg).count()
+
+
+def test_cow_mode_streaming_replay(spark, tmp_path):
+    """Full streaming replay with write_mode='cow' (bucket-pruned
+    rewrite instead of MoR delta appends): same oracle state, and the
+    table holds at most one live file per touched bucket."""
+    _, base, ops, binlog, seg_dir, _ = gen_all(tmp_path)
+    cfg = make_cfg(tmp_path, write_mode="cow")
+    bootstrap(spark, cfg, base)
+    replay(spark, cfg, seg_dir, ops)
+    assert_frames_equal(final_state(spark, cfg), replay_oracle(base, binlog, ops))
+
+    from etl_spark.lake.table import LakeTable
+
+    m = LakeTable(spark, cfg.table_root).manifest()
+    per_bucket = {}
+    for f in m.files:
+        per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+    assert max(per_bucket.values()) == 1, per_bucket
