@@ -80,6 +80,15 @@ def main() -> None:
     p = plan_of(q_fn_decimal_wei(spark, sf_dir))
     checks.append(("decimal agg partial", p.count("HashAggregate") >= 2))
 
+    # IVF: the centroid set is broadcast (assignment is a broadcast
+    # NLJ over <= n_cells rows, never a shuffle cartesian) and the
+    # cell search is an equi-join
+    from etl_spark.contract import q_sim_ivf_topk
+
+    p = plan_of(q_sim_ivf_topk(spark, sf_dir))
+    checks.append(("ivf centroids broadcast", "BroadcastNestedLoopJoin" in p))
+    checks.append(("ivf no shuffle cartesian", "CartesianProduct" not in p))
+
     failed = [name for name, ok in checks if not ok]
     for name, ok in checks:
         print(("ok    " if ok else "FAIL  ") + name)
