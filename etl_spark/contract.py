@@ -457,6 +457,44 @@ FROM embeddings
 """
 
 
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (10-minute inactivity gap) of the
+    events stream per user: session summaries with event counts and
+    bounds — the window-function form whose streaming twin is the
+    applyInPandasWithState operator (engine/sessions.py)."""
+    from etl_spark.operators.sessions import session_summaries
+
+    ev = _t(spark, sf_dir, "events")
+    return session_summaries(
+        ev, key_col="user_id", order_col="event_id", ts_col="ts",
+        gap_seconds=600,
+    )
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY event_id) > 600
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+s AS (
+  SELECT user_id, event_id, es,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY event_id
+                                  ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_idx
+  FROM g)
+SELECT user_id, session_idx,
+       count(*) AS n_events,
+       min(event_id) AS first_id,
+       max(event_id) AS last_id,
+       CAST(min(es) AS BIGINT) AS start_s,
+       CAST(max(es) AS BIGINT) AS end_s
+FROM s
+GROUP BY user_id, session_idx
+"""
+
+
 def q_agg_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: daily metric grain (the precomputed-upstream rollup the
     reference only routes, create_tables.sql:199-244, recomputed as a
@@ -1050,6 +1088,7 @@ QUERIES = {
     "fn_decimal_wei": q_fn_decimal_wei,
     "nested_struct_access": q_nested_struct_access,
     "array_indexing": q_array_indexing,
+    "sessionize_events": q_sessionize_events,
     "agg_daily_metrics": q_agg_daily_metrics,
     "tpch_q1_pricing": q_tpch_q1_pricing,
     "tpch_q3_topk": q_tpch_q3_topk,
@@ -1088,6 +1127,7 @@ ORACLES = {
     "fn_decimal_wei": SQL_FN_DECIMAL,
     "nested_struct_access": SQL_NESTED_STRUCT,
     "array_indexing": SQL_ARRAY_INDEXING,
+    "sessionize_events": SQL_SESSIONIZE,
     "agg_daily_metrics": SQL_AGG_DAILY,
     "tpch_q1_pricing": SQL_TPCH_Q1,
     "tpch_q3_topk": SQL_TPCH_Q3,
