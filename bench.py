@@ -30,13 +30,16 @@ BENCH_QUERIES = [
     "window_lag_gap",
     "tpch_q1_pricing",
     "tpch_q3_topk",
+    "sessionize_events",
     "text_token_stats",
+    "text_quality",
     "text_fingerprint",
     "dedup_exact_docs",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "sim_cosine_topk",
     "sim_lsh_ann_topk",
+    "sim_ivf_topk",
     "embedding_neardup",
     "mm_decode_features",
 ]
