@@ -385,26 +385,29 @@ def q_fn_decimal_wei(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-amount mapping (/root/reference/src/pipeline/core/spark.py:431,
     create_tables.sql:47 `Nullable(UInt256)`): values scaled to wei-like
     1e16 base units as exact decimals, aggregated per event_type. Both
-    engines compute in decimal (no float), so the hash check is exact
-    at magnitudes a long would overflow."""
+    engines compute in decimal (no float); the aggregated decimal(38,0)
+    is emitted as its exact digit STRING because DuckDB's decimal→pandas
+    bridge degrades 38-digit decimals to float64 (verified round 2) —
+    casting to VARCHAR on both sides makes the hash representation-stable
+    while the math stays exact at magnitudes a long would overflow."""
     ev = _t(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("decimal(19,0)")
     wei = (cents * F.lit("10000000000000000").cast("decimal(19,0)")).cast(
         "decimal(38,0)"
     )
     return ev.groupBy("event_type").agg(
-        F.sum(wei).cast("decimal(38,0)").alias("sum_wei"),
-        F.max(wei).cast("decimal(38,0)").alias("max_wei"),
+        F.sum(wei).cast("decimal(38,0)").cast("string").alias("sum_wei"),
+        F.max(wei).cast("decimal(38,0)").cast("string").alias("max_wei"),
         F.count("*").alias("n"),
     )
 
 
 SQL_FN_DECIMAL = """
 SELECT event_type,
-       CAST(sum(CAST(CAST(round(value*100) AS DECIMAL(19,0))
-                     * CAST('10000000000000000' AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_wei,
-       CAST(max(CAST(CAST(round(value*100) AS DECIMAL(19,0))
-                     * CAST('10000000000000000' AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS max_wei,
+       CAST(CAST(sum(CAST(CAST(round(value*100) AS DECIMAL(19,0))
+                     * CAST('10000000000000000' AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS sum_wei,
+       CAST(CAST(max(CAST(CAST(round(value*100) AS DECIMAL(19,0))
+                     * CAST('10000000000000000' AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS max_wei,
        count(*) AS n
 FROM events
 GROUP BY event_type

@@ -80,6 +80,17 @@ def main() -> None:
     p = plan_of(q_fn_decimal_wei(spark, sf_dir))
     checks.append(("decimal agg partial", p.count("HashAggregate") >= 2))
 
+    # sessionize summaries: single pass — no join back to the event
+    # stream (the round-2 re-join shuffle), at most 2 exchanges
+    # (window key + groupBy key,session)
+    from etl_spark.contract import q_sessionize_events
+
+    p = plan_of(q_sessionize_events(spark, sf_dir))
+    checks.append(("sessionize has no re-join",
+                   "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+                   and "BroadcastHashJoin" not in p))
+    checks.append(("sessionize <= 2 exchanges", p.count("Exchange") <= 2))
+
     # IVF: the centroid set is broadcast (assignment is a broadcast
     # NLJ over <= n_cells rows, never a shuffle cartesian) and the
     # cell search is an equi-join
