@@ -967,6 +967,38 @@ def q_mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: synthesize spec-valid PNG bytes
+    (zlib IDAT, CRC chunks) / JPEG frame headers per doc_id, then
+    decode them back via mapInPandas (operators/imagecodec.py —
+    IHDR parse + inflate + unfilter + pixel sum for PNG, SOF marker
+    walk for JPEG). The oracle recomputes width/height/px_sum from
+    doc_id arithmetic, so a hash match proves the bytes round-tripped
+    through a genuine encoder+decoder, not a pattern match."""
+    docs = _t(spark, sf_dir, "documents")
+    media = MM.synthesize_images(docs, "doc_id")
+    return MM.decode_image_meta(media)
+
+
+SQL_MM_DECODE_REAL = """
+WITH r AS (SELECT range AS i FROM range(0, 32*26)),
+px AS (
+  SELECT d.doc_id, CAST(sum((d.doc_id*31 + r.i) % 256) AS BIGINT) AS px_sum
+  FROM documents d JOIN r ON r.i < (4 + d.doc_id % 29) * (4 + (d.doc_id*7) % 23)
+  WHERE d.doc_id % 2 = 0
+  GROUP BY d.doc_id
+)
+SELECT d.doc_id AS media_id,
+       CASE WHEN d.doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+       CAST(4 + d.doc_id % 29 AS INTEGER) AS width,
+       CAST(4 + (d.doc_id * 7) % 23 AS INTEGER) AS height,
+       CAST(8 AS INTEGER) AS bit_depth,
+       CAST(1 AS INTEGER) AS channels,
+       px.px_sum AS px_sum
+FROM documents d LEFT JOIN px USING (doc_id)
+"""
+
+
 # =====================================================================
 # Full CDC engine replay over the driver's events table — the flagship
 # STREAMING path (file-source micro-batches, checkpoint, foreachBatch,
@@ -1109,6 +1141,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "mm_binary_metadata": q_mm_binary_metadata,
     "mm_decode_features": q_mm_decode_features,
+    "mm_decode_real": q_mm_decode_real,
     "cdc_events_replay": q_cdc_events_replay,
     "cdc_transcripts_replay": q_cdc_transcripts_replay,
 }
@@ -1146,6 +1179,7 @@ ORACLES = {
     "sim_ivf_topk": SQL_SIM_IVF_TOPK,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "mm_binary_metadata": SQL_MM_BINARY,
+    "mm_decode_real": SQL_MM_DECODE_REAL,
     "cdc_events_replay": SQL_CDC_EVENTS_REPLAY,
     # dedup_simhash, mm_decode_features, cdc_transcripts_replay:
     # intentionally no SQL oracle (non-SQL-expressible; rows-only)

@@ -8,12 +8,13 @@ Design for a 100 TB media corpus:
   each task decodes its partition's payloads vectorized, emitting a
   fixed-schema feature frame — the partitioning (and therefore the
   shuffle story) is identical to any other column op;
-- the actual codec step is STUBBED in this sandbox (no image/audio
-  libs baked in): `decode_features(..., fake=True)` produces a
-  deterministic byte-hash "feature" vector so the Spark-side schema,
-  batching, and partition plumbing are real and tested;
-  `fake=False` raises NotImplementedError where a real
-  PIL/torchaudio/ffmpeg call would go.
+- the codec is REAL for images (operators/imagecodec.py — pure-stdlib
+  spec-valid PNG round-trip incl. zlib pixel decode, JPEG frame-header
+  parse): `synthesize_images` emits genuine PNG/JPEG bytes and
+  `decode_image_meta` / `decode_features(..., fake=False)` decode them
+  back; audio/video codecs would slot into the same mapInPandas shape
+  but need libs this container lacks, so `decode_features(fake=True)`
+  keeps the deterministic byte-hash stand-in for non-image kinds.
 
 The reference treats every payload as JSON text (no binary columns);
 this is training-pipeline surface beyond it.
@@ -26,6 +27,8 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
+
+from etl_spark.operators import imagecodec
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -69,30 +72,124 @@ def _fake_feature(payload: bytes, dim: int) -> list[float]:
     return [(b - 128) / 128.0 for b in raw]
 
 
+def _image_feature(payload: bytes, dim: int) -> list[float]:
+    """REAL decode feature: [width, height, channels, bit_depth,
+    px_mean] (px_mean -1.0 when the format carries no scan data, i.e.
+    the JPEG header-only path), zero-padded to `dim`."""
+    m = imagecodec.decode_image(payload)
+    px_mean = (
+        m["px_sum"] / (m["width"] * m["height"])
+        if m["px_sum"] is not None
+        else -1.0
+    )
+    vals = [
+        float(m["width"]),
+        float(m["height"]),
+        float(m["channels"]),
+        float(m["bit_depth"]),
+        float(px_mean),
+    ]
+    return (vals + [0.0] * dim)[:dim]
+
+
 def decode_features(
     media: DataFrame, dim: int = 16, fake: bool = True
 ) -> DataFrame:
     """Decode payloads into fixed-dim feature vectors via mapInPandas
     (Arrow-batched; one Python worker pass per partition, no per-row
-    round trips). `fake=False` is the real-codec slot."""
+    round trips). `fake=False` runs the REAL image codec
+    (operators/imagecodec.py) — payloads must be PNG/JPEG bytes
+    (ValueError otherwise); `fake=True` is the deterministic byte-hash
+    stand-in for kinds whose codecs need libs this container lacks."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real codecs (PIL/torchaudio/ffmpeg) not available in "
-                    "this sandbox; pass fake=True for the deterministic stub"
-                )
+            if fake:
+                feats = [_fake_feature(p, dim) for p in pdf["payload"]]
+            else:
+                feats = [_image_feature(p, dim) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": pdf["n_bytes"],
-                    "feature": [_fake_feature(p, dim) for p in pdf["payload"]],
+                    "feature": feats,
                 }
             )
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("bit_depth", T.IntegerType(), False),
+        T.StructField("channels", T.IntegerType(), False),
+        T.StructField("px_sum", T.LongType(), True),
+    ]
+)
+
+
+def synthesize_images(
+    df: DataFrame, id_col: str, max_w: int = 29, max_h: int = 23
+) -> DataFrame:
+    """Deterministic image-media synthesis: even ids become spec-valid
+    grayscale PNGs (pixel i = (id*31 + i) % 256), odd ids become
+    JPEG frame headers. Dimensions are pure functions of the id
+    (w = 4 + id % max_w, h = 4 + (id*7) % max_h) so a SQL oracle can
+    recompute everything the decoder must recover from the bytes.
+    Runs as mapInPandas — synthesis is embarrassingly parallel and
+    payloads never touch the driver."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "kind": [], "payload": [],
+                    "n_bytes": [], "sha256": []}
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w = 4 + mid % max_w
+                h = 4 + (mid * 7) % max_h
+                if mid % 2 == 0:
+                    payload = imagecodec.encode_png(w, h, seed=mid * 31)
+                else:
+                    payload = imagecodec.encode_jpeg_header(w, h, channels=1)
+                rows["media_id"].append(mid)
+                rows["kind"].append("image")
+                rows["payload"].append(payload)
+                rows["n_bytes"].append(len(payload))
+                rows["sha256"].append(hashlib.sha256(payload).hexdigest())
+            yield pd.DataFrame(rows)
+
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    return src.mapInPandas(run, MEDIA_SCHEMA)
+
+
+def decode_image_meta(media: DataFrame) -> DataFrame:
+    """REAL image decode over Arrow batches: PNG → IHDR dims + zlib
+    inflate + unfilter + pixel sum; JPEG → SOF frame-header dims.
+    Fixed output schema, partition-parallel, nothing on the driver."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [imagecodec.decode_image(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": [m["format"] for m in metas],
+                    "width": [m["width"] for m in metas],
+                    "height": [m["height"] for m in metas],
+                    "bit_depth": [m["bit_depth"] for m in metas],
+                    "channels": [m["channels"] for m in metas],
+                    "px_sum": pd.array(
+                        [m["px_sum"] for m in metas], dtype="Int64"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(run, IMAGE_META_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:

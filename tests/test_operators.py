@@ -167,7 +167,60 @@ def test_multimodal_decode_plumbing(spark, docs):
         assert metas[doc_id] == hashlib.sha256(txt.encode()).hexdigest()
 
 
-def test_decode_features_real_codec_is_stubbed(spark, docs):
-    media = MM.media_from_text(docs, "doc_id", "text")
-    with pytest.raises(Exception):  # NotImplementedError inside the worker
-        MM.decode_features(media, fake=False).collect()
+def test_image_codec_round_trip_pure():
+    """Pure-function codec: encode → decode recovers dims and the
+    exact pixel sum (PNG), or the frame-header dims (JPEG)."""
+    from etl_spark.operators import imagecodec as IC
+
+    for w, h, seed in [(4, 4, 0), (31, 25, 777), (1, 1, 255), (64, 3, 12345)]:
+        payload = IC.encode_png(w, h, seed)
+        m = IC.decode_image(payload)
+        assert (m["format"], m["width"], m["height"]) == ("png", w, h)
+        assert m["bit_depth"] == 8 and m["channels"] == 1
+        assert m["px_sum"] == sum((seed + i) % 256 for i in range(w * h))
+    m = IC.decode_image(IC.encode_jpeg_header(640, 480, channels=3))
+    assert (m["format"], m["width"], m["height"], m["channels"]) == (
+        "jpeg", 640, 480, 3)
+    assert m["px_sum"] is None
+    with pytest.raises(ValueError):
+        IC.decode_image(b"not an image at all")
+
+
+def test_synthesize_and_decode_images_spark(spark, docs):
+    """End-to-end through mapInPandas: synthesized PNG/JPEG bytes decode
+    back to the arithmetic-predicted metadata."""
+    media = MM.synthesize_images(docs, "doc_id")
+    out = {r["media_id"]: r for r in MM.decode_image_meta(media).collect()}
+    assert len(out) == len(DOCS)
+    for doc_id, _txt in DOCS:
+        r = out[doc_id]
+        w, h = 4 + doc_id % 29, 4 + (doc_id * 7) % 23
+        assert (r["width"], r["height"]) == (w, h)
+        if doc_id % 2 == 0:
+            assert r["format"] == "png"
+            assert r["px_sum"] == sum((doc_id * 31 + i) % 256 for i in range(w * h))
+        else:
+            assert r["format"] == "jpeg"
+            assert r["px_sum"] is None
+
+
+def test_decode_features_real_codec(spark, docs):
+    """fake=False runs the REAL image codec: feature head is
+    [w, h, channels, bit_depth, px_mean]."""
+    media = MM.synthesize_images(docs, "doc_id")
+    feats = {r["media_id"]: r["feature"]
+             for r in MM.decode_features(media, dim=8, fake=False).collect()}
+    for doc_id, _txt in DOCS:
+        w, h = 4 + doc_id % 29, 4 + (doc_id * 7) % 23
+        f = feats[doc_id]
+        assert len(f) == 8
+        assert f[0] == float(w) and f[1] == float(h)
+        if doc_id % 2 == 0:
+            exp_mean = sum((doc_id * 31 + i) % 256 for i in range(w * h)) / (w * h)
+            assert abs(f[4] - exp_mean) < 1e-4
+        else:
+            assert f[4] == -1.0
+    # non-image payloads are rejected, not silently featurized
+    text_media = MM.media_from_text(docs, "doc_id", "text")
+    with pytest.raises(Exception):  # ValueError inside the worker
+        MM.decode_features(text_media, fake=False).collect()
