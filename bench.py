@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "sim_ivf_topk",
     "embedding_neardup",
     "mm_decode_features",
+    "mm_decode_real",
 ]
 
 
@@ -72,12 +73,17 @@ def main() -> None:
 
     spark = get_spark("bench", parallelism=cpus, shuffle_partitions=cpus)
 
+    from etl_spark.operators import dedup as _dedup
+
     queries: dict[str, float] = {"cdc_replay": replay_stats["replay_s"]}
     for name in BENCH_QUERIES:
         t0 = time.time()
         df = QUERIES[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         queries[name] = round(time.time() - t0, 3)
+        # release operator-persisted intermediates (shingle/candidate
+        # tables) so caches never accumulate across the sweep
+        _dedup.release_caches()
 
     total = round(sum(queries.values()), 3)
     print(

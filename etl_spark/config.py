@@ -35,8 +35,12 @@ class EngineConfig:
     # merge-on-read file-count bound: compact buckets whose live file
     # count exceeds this (0 = never; run as external maintenance)
     compact_max_files_per_bucket: int = 0
+    # compaction cadence: check the file-count bound every K batches
+    # (main-thread, serialized with merges; independent of async
+    # lineage — compaction commits table versions, lineage does not)
+    compact_every_batches: int = 1
     # overlap batch N's lineage rollup with batch N+1's source read
-    # (depth-1 commit pipelining; crash-safe — see engine/apply.py).
-    # Auto-disabled when compaction runs inline (manifest commits must
-    # not race). Lineage readers drain in-flight writes first.
+    # (depth-1 commit pipelining; crash-safe — in-batch heal plus
+    # startup reconciliation, see engine/apply.py reconcile_lineage).
+    # Lineage readers drain in-flight writes first.
     async_lineage: bool = True

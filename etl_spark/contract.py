@@ -815,7 +815,7 @@ WHERE s.shared * 100 >= 80 * (sa.n_sh + sb.n_sh - s.shared)
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (xxhash64-based — no SQL oracle; golden
-    tested against a pure-Python reference in tests/test_dedup.py)."""
+    tested against a pure-Python reference in tests/test_operators.py)."""
     docs = _t(spark, sf_dir, "documents")
     sigs = DD.simhash64(docs, "doc_id", "text")
     return DD.simhash_pairs(sigs, max_hamming=3, bands=4)

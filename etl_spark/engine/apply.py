@@ -271,6 +271,38 @@ def _tlog(batch_id: int, phase: str, t0: float) -> float:
     return t
 
 
+def _prior_covered_ranges(
+    committed: dict[str, dict], source_id: str, batch_id: int
+) -> list[tuple[int, int]]:
+    """Merged [min_lsn, max_lsn] intervals covered by this source's
+    batches committed BEFORE `batch_id` (streaming batch ids are
+    monotone). An event seen in batch `batch_id` whose LSN falls in a
+    prior interval is an at-least-once re-delivery; an LSN outside all
+    of them is a new log entry even when the file source delivers
+    batches out of LSN order — the basis for the exact cross-batch
+    distinct count. Contiguous coverage merges to one span, so the
+    list stays O(out-of-order fringes), not O(batches)."""
+    prefix = f"{source_id}:"
+    spans: list[tuple[int, int]] = []
+    for k, st in committed.items():
+        if not k.startswith(prefix) or not st:
+            continue
+        try:
+            bid = int(k[len(prefix):])
+        except ValueError:
+            continue
+        if bid < batch_id and "min_lsn" in st and "max_lsn" in st:
+            spans.append((int(st["min_lsn"]), int(st["max_lsn"])))
+    spans.sort()
+    merged: list[tuple[int, int]] = []
+    for lo, hi in spans:
+        if merged and lo <= merged[-1][1] + 1:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+        else:
+            merged.append((lo, hi))
+    return merged
+
+
 def apply_batch(
     spark,
     cfg: EngineConfig,
@@ -280,12 +312,15 @@ def apply_batch(
     source_id: str = "cdc",
     spec: SourceSpec = TRANSCRIPTS,
     footer_stats: bool = True,
+    stats_override: dict | None = None,
 ) -> None:
     t0 = time.time()
     table = LakeTable(spark, cfg.table_root)
     batch_key = f"{source_id}:{batch_id}"
 
-    if table.has_batch(batch_key):
+    m0 = table.manifest()
+    covered = _prior_covered_ranges(m0.committed_batches, source_id, batch_id)
+    if batch_key in m0.committed_batches:
         # replayed epoch after crash. The MERGE is already committed; if
         # the crash hit the window before the lineage write, fall
         # through to recompute it (merge_into below no-ops via ledger).
@@ -299,9 +334,9 @@ def apply_batch(
     # would still count)
     t = _tlog(batch_id, "drain+ledger", t0)
     use_footers = footer_stats and not cfg.use_watermark_dedup
-    stats_src = None
+    stats_src = stats_override
     n_src_files = None
-    if use_footers:
+    if stats_src is None and use_footers:
         files = _batch_files_from_checkpoint(cfg.checkpoint_dir, batch_id)
         stats_src = _stats_from_footers(batch_df, files or None)
         if stats_src is not None and files:
@@ -369,6 +404,7 @@ def apply_batch(
         list(spec.key),
         salt_buckets=cfg.salt_buckets,
         with_counts=True,
+        covered_lsn_ranges=covered,
     )
     # One materialization serves the merge (bucket discovery + join +
     # CoW write) and the lineage rollup; without it the whole parse/
@@ -413,9 +449,6 @@ def apply_batch(
                 lineage.write_batch_manifest(
                     spark, cfg.manifest_dir, table, resolved, batch_id, stats, version
                 )
-            # 8. merge-on-read maintenance: bound per-bucket file counts
-            if cfg.compact_max_files_per_bucket:
-                table.compact(cfg.compact_max_files_per_bucket)
         finally:
             resolved.unpersist()
             _tlog(batch_id, "lineage", tf)
@@ -423,12 +456,76 @@ def apply_batch(
     # lineage is a small rollup over the persisted resolved set; run it
     # in the background so the streaming engine can commit this epoch
     # and start reading batch N+1 while it lands. Safe because lineage
-    # is idempotent-overwrite and a crash in the window is healed by
-    # the has_batch+has_batch_manifest recheck above. Compaction
-    # commits table versions, so it forces the synchronous path (no
-    # concurrent manifest commits).
-    if cfg.async_lineage and not cfg.compact_max_files_per_bucket:
+    # is idempotent-overwrite, a crash in the window is healed by the
+    # has_batch+has_batch_manifest recheck above plus the startup
+    # reconciliation in run_replay (reconcile_lineage — covers the case
+    # where the crash lands AFTER this epoch commits, so the batch is
+    # never replayed), and the lineage write commits no table version
+    # (driver-side parquet only), so it cannot race a manifest commit.
+    if cfg.async_lineage:
         with _LOCK:
             _PENDING[cfg.table_root] = _EXECUTOR.submit(_finish)
     else:
         _finish()
+
+    # 8. merge-on-read maintenance every K batches, in the MAIN thread:
+    # compaction commits a table version, so it must serialize with the
+    # merges (which it does here by construction) — but it does not
+    # conflict with the in-flight lineage write above, which only
+    # produces a driver-side parquet file.
+    if cfg.compact_max_files_per_bucket and (
+        (batch_id + 1) % max(1, cfg.compact_every_batches) == 0
+    ):
+        table.compact(cfg.compact_max_files_per_bucket)
+        _tlog(batch_id, "compact", t)
+
+
+def reconcile_lineage(
+    spark,
+    cfg: EngineConfig,
+    ops: list[SchemaOp],
+    source_id: str = "cdc",
+    spec: SourceSpec = TRANSCRIPTS,
+) -> list[int]:
+    """Startup reconciliation for the async-lineage crash window: a
+    crash AFTER epoch N committed to the streaming checkpoint but
+    BEFORE its background lineage write landed means batch N is never
+    replayed, so the in-batch heal path never runs — without this, the
+    lineage manifest for N would be permanently missing and
+    check_invariants would report a phantom LSN gap.
+
+    For every ledger-committed batch of this source whose lineage file
+    is absent, the batch's exact file set is recovered from the
+    checkpoint's offset log and re-pushed through apply_batch (the
+    MERGE no-ops via the ledger; only the lineage rollup recomputes —
+    at the CURRENT table schema, which affects the checksum column
+    only, never the LSN/count invariants). Call before starting the
+    stream; run_replay does. Returns the reconciled batch ids."""
+    if not LakeTable.exists(cfg.table_root):
+        return []
+    table = LakeTable(spark, cfg.table_root)
+    prefix = f"{source_id}:"
+    healed: list[int] = []
+    for k in sorted(table.manifest().committed_batches):
+        if not k.startswith(prefix):
+            continue
+        try:
+            bid = int(k[len(prefix):])
+        except ValueError:
+            continue
+        if lineage.has_batch_manifest(cfg.manifest_dir, bid):
+            continue
+        files = _batch_files_from_checkpoint(cfg.checkpoint_dir, bid)
+        if not files:
+            raise RuntimeError(
+                f"lineage lost for committed batch {bid} and its file set "
+                f"is not in the checkpoint offset log ({cfg.checkpoint_dir}) "
+                "— cannot reconcile; table state itself is intact"
+            )
+        batch_df = spark.read.schema(spec.binlog_schema()).parquet(*files)
+        apply_batch(
+            spark, cfg, ops, batch_df, bid, source_id=source_id, spec=spec
+        )
+        drain_pending(cfg.table_root)
+        healed.append(bid)
+    return healed

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from etl_spark.lake.table import BUCKET_COL, LakeTable
 
 # resolve-internal count columns excluded from the content checksum
-INTERNAL_COLS = {BUCKET_COL, "_nev", "_nlsn"}
+INTERNAL_COLS = {BUCKET_COL, "_nev", "_nlsn", "_nnew"}
 
 
 def _canonical_checksum_col(cols: list[str]):
@@ -68,11 +68,17 @@ def write_batch_manifest(
         _canonical_checksum_col(content_cols).alias("checksum"),
     ]
     has_counts = "_nev" in resolved.columns
+    has_new = "_nnew" in resolved.columns
     if has_counts:
         aggs += [
             F.sum("_nev").alias("events_in"),
             F.sum("_nlsn").alias("events_distinct"),
         ]
+    if has_new:
+        # distinct LSNs above the prior covered horizon — counts each
+        # log event exactly once across batches even under cross-batch
+        # re-delivery (see resolve_max_lsn new_lsn_floor)
+        aggs.append(F.sum("_nnew").alias("events_new"))
     rows = (
         resolved.withColumn(BUCKET_COL, table.bucket_expr(m))
         .groupBy(F.col(BUCKET_COL).alias("partition_id"))
@@ -86,6 +92,7 @@ def write_batch_manifest(
     n = len(rows)
     ev_in = [int(r["events_in"]) if has_counts else None for r in rows]
     ev_di = [int(r["events_distinct"]) if has_counts else None for r in rows]
+    ev_nw = [int(r["events_new"]) if has_new else None for r in rows]
     tbl = pa.table(
         {
             "partition_id": pa.array([r["partition_id"] for r in rows], pa.int32()),
@@ -95,6 +102,7 @@ def write_batch_manifest(
             "checksum": pa.array([r["checksum"] for r in rows], pa.int64()),
             "events_in": pa.array(ev_in, pa.int64()),
             "events_distinct": pa.array(ev_di, pa.int64()),
+            "events_new": pa.array(ev_nw, pa.int64()),
             "batch_id": pa.array([batch_id] * n, pa.int64()),
             "batch_min_lsn": pa.array([stats["min_lsn"]] * n, pa.int64()),
             "batch_max_lsn": pa.array([stats["max_lsn"]] * n, pa.int64()),
@@ -110,20 +118,29 @@ def write_batch_manifest(
     os.replace(tmp, out)
 
 
-def read_manifest(spark: SparkSession, manifest_dir: str) -> DataFrame:
+def read_manifest(
+    spark: SparkSession, manifest_dir: str | list[str]
+) -> DataFrame:
+    """Read one manifest dir, or the UNION of several (the routed
+    mode's invariant surface: N per-entity ledgers over one shared
+    global LSN sequence are individually sparse but dense together)."""
     # join any in-flight async lineage writers before reading
     from etl_spark.engine.apply import drain_all_pending
 
     drain_all_pending()
+    dirs = [manifest_dir] if isinstance(manifest_dir, str) else list(manifest_dir)
     paths = [
-        os.path.join(manifest_dir, f)
-        for f in sorted(os.listdir(manifest_dir))
+        os.path.join(d, f)
+        for d in dirs
+        for f in sorted(os.listdir(d))
         if f.startswith("batch-") and f.endswith(".parquet")
     ]
     return spark.read.parquet(*paths)
 
 
-def check_invariants(spark: SparkSession, manifest_dir: str) -> dict:
+def check_invariants(
+    spark: SparkSession, manifest_dir: str | list[str]
+) -> dict:
     """Assert the lineage invariants (FIXTURES.md §5): per-batch LSN
     ranges cover the log with NO GAPS (fatal — lost data), while
     cross-batch range OVERLAP is tolerated and reported (at-least-once
@@ -132,22 +149,29 @@ def check_invariants(spark: SparkSession, manifest_dir: str) -> dict:
     not corruption). Gap detection assumes LSN-dense logs (the WAL
     assigns consecutive LSNs), matching the binlog contract. Batches
     need not arrive in LSN order (the file source may reorder ties).
-    Returns summary stats; raises on gap."""
+    Returns summary stats; raises on gap.
+
+    `events_distinct_total` prefers the `events_new` column (distinct
+    LSNs above each batch's prior covered horizon — EXACT across
+    batches even under cross-segment re-delivery); it falls back to
+    summing per-batch `events_distinct` (which double-counts an event
+    re-delivered into a later batch) only for manifests written before
+    the column existed."""
     df = read_manifest(spark, manifest_dir)
-    per_batch = (
-        df.groupBy("batch_id")
-        .agg(
-            F.min("batch_min_lsn").alias("lo"),
-            F.max("batch_max_lsn").alias("hi"),
-            F.sum("row_count").alias("keys_resolved"),
-            F.sum("events_distinct").alias("events_distinct"),
-        )
-        .orderBy("lo", "batch_id")
-        .collect()
-    )
+    agg = [
+        F.min("batch_min_lsn").alias("lo"),
+        F.max("batch_max_lsn").alias("hi"),
+        F.sum("row_count").alias("keys_resolved"),
+        F.sum("events_distinct").alias("events_distinct"),
+    ]
+    has_new = "events_new" in df.columns
+    if has_new:
+        agg.append(F.sum("events_new").alias("events_new"))
+    per_batch = df.groupBy("batch_id").agg(*agg).orderBy("lo", "batch_id").collect()
     prev_hi = None
     overlapped = []
     total_distinct = 0
+    use_new = has_new and all(r["events_new"] is not None for r in per_batch)
     for r in per_batch:
         if prev_hi is not None and r["lo"] > prev_hi + 1:
             raise AssertionError(
@@ -157,7 +181,7 @@ def check_invariants(spark: SparkSession, manifest_dir: str) -> dict:
         if prev_hi is not None and r["lo"] <= prev_hi:
             overlapped.append(int(r["batch_id"]))
         prev_hi = r["hi"] if prev_hi is None else max(prev_hi, r["hi"])
-        total_distinct += r["events_distinct"] or 0
+        total_distinct += (r["events_new"] if use_new else r["events_distinct"]) or 0
     return {
         "batches": len(per_batch),
         "events_distinct_total": int(total_distinct),

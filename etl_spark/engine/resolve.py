@@ -28,6 +28,7 @@ def resolve_max_lsn(
     lsn_col: str = "lsn",
     salt_buckets: int = 0,
     with_counts: bool = False,
+    covered_lsn_ranges: list[tuple[int, int]] | None = None,
 ) -> DataFrame:
     """One row per `key`: the full row carrying the highest `lsn`.
 
@@ -43,6 +44,16 @@ def resolve_max_lsn(
     key-grain — e.g. (conv_id, turn_idx) — keeps small even for hot
     conversations; LSNs are unique per event so per-key sets are
     disjoint across keys and across salt groups.)
+
+    `covered_lsn_ranges` (with with_counts) additionally emits `_nnew`:
+    the per-key count of distinct LSNs OUTSIDE the given [lo, hi]
+    intervals. With the intervals set to the prior batches' covered
+    LSN ranges (merged; typically one span), summing _nnew counts each
+    log event exactly once across the whole replay: an at-least-once
+    re-delivery falls inside a prior batch's range and is excluded,
+    while a genuinely new event is outside every prior range even when
+    the source delivers batches out of LSN order. Pass `[]` for "no
+    prior coverage" (count all distinct LSNs as new).
     """
     others = [c for c in df.columns if c not in key]
     packed = F.struct(*[F.col(c) for c in others]).alias("_row")
@@ -50,10 +61,24 @@ def resolve_max_lsn(
     def _count_aggs():
         if not with_counts:
             return []
-        return [
+        aggs = [
             F.count("*").alias("_nev"),
             F.size(F.collect_set(F.col(lsn_col))).alias("_nlsn"),
         ]
+        if covered_lsn_ranges is not None:
+            covered = F.lit(False)
+            for lo, hi in covered_lsn_ranges:
+                covered = covered | (
+                    (F.col(lsn_col) >= F.lit(int(lo)))
+                    & (F.col(lsn_col) <= F.lit(int(hi)))
+                )
+            # collect_set skips nulls, so this is distinct-outside-coverage
+            aggs.append(
+                F.size(
+                    F.collect_set(F.when(~covered, F.col(lsn_col)))
+                ).alias("_nnew")
+            )
+        return aggs
 
     if salt_buckets and salt_buckets > 1:
         # phase 1: reduce within (key, salt) groups; phase 2: final.
@@ -74,6 +99,10 @@ def resolve_max_lsn(
                 F.sum("_nev").alias("_nev"),
                 F.sum("_nlsn").alias("_nlsn"),
             ]
+            if covered_lsn_ranges is not None:
+                # a given LSN lands in exactly one salt group, so the
+                # per-group distinct-outside-coverage counts sum exactly
+                final_aggs.append(F.sum("_nnew").cast("int").alias("_nnew"))
         final = part.groupBy(*key).agg(*final_aggs)
     else:
         final = df.groupBy(*key).agg(
@@ -81,4 +110,6 @@ def resolve_max_lsn(
         )
 
     extra = ["_nev", "_nlsn"] if with_counts else []
+    if with_counts and covered_lsn_ranges is not None:
+        extra.append("_nnew")
     return final.select(*key, "_row.*", *extra)

@@ -14,6 +14,15 @@ scan (the batch is persisted once); each entity's merge then shuffles
 only its own rows. A hot entity dominating the log behaves exactly
 like a hot key family — its merge is the one that fans out, the
 others stay small.
+
+LSN-density contract: `lineage.check_invariants` gap detection assumes
+a dense LSN sequence. With ONE shared changelog carrying a single
+global LSN sequence, each entity's ledger sees a sparse subset, so the
+gap check must run on the UNION of all routes' manifests
+(`check_invariants(spark, [route.manifest_dir, ...])` — the union
+restores density), never per-entity. Per-entity check_invariants is
+valid only when each entity carries its own dense LSN space (the
+per-topic-WAL deployment shape).
 """
 
 from __future__ import annotations
@@ -71,11 +80,37 @@ def apply_batch_routed(
     entity_col: str = ENTITY_COL,
 ) -> None:
     """Split one micro-batch by route column and apply each slice to
-    its entity's table. Footer stats are disabled (the slice is a
-    filtered view of the shared files, so file-level stats would
-    overcount); the slim aggregation fallback runs per entity."""
+    its entity's table. File footer stats don't apply to a filtered
+    slice of shared files, so per-entity batch stats come from ONE
+    combined aggregation over the persisted batch (grouped by the
+    route column) instead of N slim aggregation jobs — one stats job
+    per batch regardless of entity count (the reference fans out to
+    ~18 topics; N jobs/batch was the round-2 cost)."""
     batch_df = batch_df.persist()
     try:
+        stat_rows = (
+            batch_df.groupBy(entity_col)
+            .agg(
+                F.min("lsn").alias("min_lsn"),
+                F.max("lsn").alias("max_lsn"),
+                F.count("*").alias("events_in"),
+                F.min("schema_version").alias("vmin"),
+                F.max("schema_version").alias("vmax"),
+            )
+            .collect()
+        )
+        by_entity = {
+            r[entity_col]: {
+                "min_lsn": int(r["min_lsn"]),
+                "max_lsn": int(r["max_lsn"]),
+                "events_in": int(r["events_in"]),
+                "vmin": int(r["vmin"]),
+                "vmax": int(r["vmax"]),
+            }
+            for r in stat_rows
+        }
+        empty = {"min_lsn": 0, "max_lsn": 0, "events_in": 0,
+                 "vmin": None, "vmax": None}
         for name in sorted(routes):
             cfg, ops, spec = routes[name]
             keep = ["lsn", "op", *spec.key, "op_ts", "schema_version", "payload"]
@@ -89,6 +124,7 @@ def apply_batch_routed(
                 source_id=f"cdc-{name}",
                 spec=spec,
                 footer_stats=False,
+                stats_override=by_entity.get(name, empty),
             )
     finally:
         batch_df.unpersist()

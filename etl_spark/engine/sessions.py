@@ -101,7 +101,20 @@ def streaming_sessionize(
 ) -> DataFrame:
     """Apply gap-based sessionization to a binlog stream (any op —
     I/U/D all count as conversation activity). Returns an update-mode
-    stream of session summary rows."""
+    stream of session summary rows.
+
+    PRECONDITION (in-order-across-batches): the cross-batch filter
+    `lsn > last_lsn` treats every below-watermark LSN as an
+    at-least-once re-delivery and drops it. A genuinely NEW event whose
+    LSN is below a later batch's watermark (first-delivery disorder
+    that crosses a micro-batch boundary) would be silently excluded
+    from its session's counts/bounds, diverging from the batch twin.
+    The binlog contract pins first-delivery disorder inside a segment
+    (gen/binlog.py `disorder_window`), so segment-granular micro-
+    batches satisfy this; only re-deliveries may cross batches. If the
+    source cannot guarantee it, either widen micro-batches to cover
+    the disorder horizon or recompute affected keys with the batch
+    form (`operators.sessions`), which is order-insensitive."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     prepared = stream.select(

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from etl_spark.cdc_schema import TRANSCRIPTS, SchemaOp, SourceSpec
 from etl_spark.config import EngineConfig
-from etl_spark.engine.apply import apply_batch, drain_pending
+from etl_spark.engine.apply import apply_batch, drain_pending, reconcile_lineage
 from etl_spark.lake.table import spark_type
 
 
@@ -70,6 +70,9 @@ def run_replay(
     `available_now=True` = bounded replay (drain all segments, then
     stop); False = continuous tail. Resumable: offsets live in the
     checkpoint, applied state in the lake manifest ledger."""
+    # heal the async-lineage crash window (epoch committed, lineage
+    # write lost) before the engine starts skipping committed batches
+    reconcile_lineage(spark, cfg, ops, spec=spec)
     stream = (
         spark.readStream.schema(spec.binlog_schema())
         .option("maxFilesPerTrigger", cfg.max_files_per_trigger)

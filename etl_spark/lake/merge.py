@@ -72,10 +72,14 @@ def merge_into(
 
     # Persist the source across the two CoW consumers (bucket-discovery
     # action, then the key join): without it the caller's whole upstream
-    # pipeline re-runs per consumer. The engine path arrives already
-    # persisted (engine/apply.py) — persist() there is a no-op marker —
-    # and direct merge_into callers get the same guarantee here.
-    src = source.withColumn(BUCKET_COL, table.bucket_expr(m)).persist()
+    # pipeline re-runs per consumer. When the caller already persisted
+    # `source` (the engine path, engine/apply.py), skip the persist here:
+    # the withColumn plan scans the existing cache, and caching the
+    # derived plan too would store the batch TWICE per micro-batch.
+    already_cached = source.storageLevel.useMemory or source.storageLevel.useDisk
+    src = source.withColumn(BUCKET_COL, table.bucket_expr(m))
+    if not already_cached:
+        src = src.persist()
     try:
         # Bounded driver transfer: one int per touched bucket (<= num_buckets).
         touched = sorted(
@@ -127,4 +131,5 @@ def merge_into(
             merged, touched, batch_key=batch_key, batch_stats=batch_stats
         )
     finally:
-        src.unpersist()
+        if not already_cached:
+            src.unpersist()

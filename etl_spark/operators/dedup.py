@@ -20,9 +20,29 @@ dedup is new engine surface for the training-data pipeline.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from etl_spark.functions.text import fingerprint, normalized_text
+
+# Persisted intermediates (shingle/candidate tables) live until the
+# caller releases them: laziness means the operator cannot unpersist
+# before its result is acted on. Long-lived sessions that sweep many
+# dedup queries (bench loops, contract checks) should call
+# `release_caches()` after consuming each result; otherwise the JVM
+# context cleaner reclaims them only when the Python objects die.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _track_persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _LIVE_CACHES.append(df)
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every intermediate cached by dedup operators."""
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist()
 
 
 # --------------------------------------------------------------- exact
@@ -82,6 +102,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_shingle_freq: int = 1000,
     cache_shingles: bool = True,
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by exact token-n-gram Jaccard >= threshold.
 
@@ -91,35 +112,85 @@ def ngram_jaccard_pairs(
     creates f^2/2 pairs). Jaccard compared in integer arithmetic
     (shared/union cross-multiplied) — no float threshold ambiguity.
     Returns (id_a, id_b, shared, n_a, n_b) with id_a < id_b.
+
+    `prefix_filter` applies LOSSLESS prefix filtering (Chaudhuri et
+    al. 2006 / ppjoin): under a global shingle order (ascending
+    frequency, then value), a pair with Jaccard >= t must share a
+    shingle within each doc's first n_sh - ceil(t*n_sh) + 1 shingles —
+    so only those prefixes participate in the candidate self-join
+    (quadratic fan-out on ~(1-t) of each doc's shingles instead of all
+    of them), and survivors are verified with exact Jaccard over the
+    full shingle sets. The result set is provably identical, so the
+    SQL oracle is unchanged.
     """
-    sh = shingles(df, id_col, text_col, n)
-    freq_ok = (
-        sh.groupBy("shingle")
+    sh0 = shingles(df, id_col, text_col, n)
+    freq = (
+        sh0.groupBy("shingle")
         .agg(F.count("*").alias("f"))
         .filter(F.col("f") <= max_shingle_freq)
-        .select("shingle")
     )
-    sh = sh.join(freq_ok, "shingle", "left_semi")
+    sh = sh0.join(freq, "shingle")  # carries the global frequency f
     if cache_shingles:
-        # the filtered shingle table feeds the self-join twice plus the
-        # per-doc stats — persist it once instead of re-running
-        # scan+normalize+explode per consumer (at corpus scale this is
-        # a checkpoint; storage is O(total shingles), released by the
-        # session's context cleaner)
-        sh = sh.persist()
+        # the filtered shingle table feeds the candidate join, the
+        # verify join, and the per-doc stats — persist it once instead
+        # of re-running scan+normalize+explode per consumer
+        sh = _track_persist(sh)
     stats = _shingle_stats(sh)
+    pct = int(round(threshold * 100))
 
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
-    shared = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("shared"))
-    )
+    if prefix_filter:
+        wo = Window.partitionBy("id").orderBy("f", "shingle")
+        wc = Window.partitionBy("id")
+        ranked = sh.select(
+            "id",
+            "shingle",
+            F.row_number().over(wo).alias("_rn"),
+            F.count("*").over(wc).alias("_n"),
+        )
+        # prefix length = n - ceil(t*n) + 1, integer-exact via pct
+        plen = (
+            F.col("_n")
+            - F.floor((F.col("_n") * pct + F.lit(99)) / F.lit(100))
+            + 1
+        )
+        pref = ranked.filter(F.col("_rn") <= plen).select("id", "shingle")
+        pa = pref.select(F.col("id").alias("id_a"), "shingle")
+        pb = pref.select(F.col("id").alias("id_b"), "shingle")
+        cand = (
+            pa.join(pb, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        if cache_shingles:
+            cand = _track_persist(cand)
+        cand_ids = (
+            cand.select(F.col("id_a").alias("id"))
+            .unionByName(cand.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        sh_v = sh.join(cand_ids, "id", "left_semi")
+        a = sh_v.select(F.col("id").alias("id_a"), "shingle")
+        b = sh_v.select(F.col("id").alias("id_b"), "shingle")
+        shared = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .join(cand, ["id_a", "id_b"], "left_semi")
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("shared"))
+        )
+    else:
+        a = sh.select(F.col("id").alias("id_a"), "shingle")
+        b = sh.select(F.col("id").alias("id_b"), "shingle")
+        shared = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("shared"))
+        )
+
     sa = stats.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = stats.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    pct = int(round(threshold * 100))
     return (
         shared.join(sa, "id_a")
         .join(sb, "id_b")
@@ -180,7 +251,7 @@ def minhash_lsh_pairs(
     )
     sh = sh.join(freq_ok, "shingle", "left_semi")
     if cache_shingles:
-        sh = sh.persist()  # consumed by sigs, the verify join, stats
+        sh = _track_persist(sh)  # consumed by sigs, the verify join, stats
     sigs = minhash_signatures(sh, num_hashes)
 
     # one explode, not a bands-way union: a union would paste `bands`
@@ -213,7 +284,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     if cache_shingles:
-        cand = cand.persist()  # consumed by cand_ids and the pair semi-join
+        cand = _track_persist(cand)  # consumed by cand_ids and the pair semi-join
 
     # exact verify on candidates only — prune BEFORE the expensive
     # join: restrict the shingle table to candidate doc ids, then

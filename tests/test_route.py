@@ -78,3 +78,57 @@ def test_two_targets_one_log(spark, tmp_path):
 
     assert LakeTable(spark, cfgA.table_root).manifest().schema.schema_id == 3
     assert LakeTable(spark, cfgB.table_root).manifest().schema.schema_id == 0
+
+
+def test_shared_global_lsn_union_invariants(spark, tmp_path):
+    """The design the module documents: ONE shared changelog with a
+    single GLOBAL LSN sequence interleaved across entities. Each
+    entity's ledger then sees a sparse LSN subset — per-entity
+    check_invariants must NOT be used (it would report phantom gaps);
+    the invariant surface is the UNION of all routes' manifests, which
+    restores density (route.py LSN-density contract)."""
+    import pytest
+
+    gA = GenConfig(seed=31, n_convs=5, n_events=120, dup_rate=0.0,
+                   disorder_window=4, segment_size=40, schema_op_fracs=())
+    gB = GenConfig(seed=32, n_convs=4, n_events=120, dup_rate=0.0,
+                   disorder_window=4, segment_size=40, schema_op_fracs=())
+    baseA, baseB = gen_base(gA), gen_base(gB)
+    binA = gen_binlog(gA, baseA, [])
+    binB = gen_binlog(gB, baseB, [])
+    binA["entity"], binB["entity"] = "convA", "convB"
+
+    # one global LSN space: interleave (orig_lsn, entity) pairs —
+    # monotone per entity, so per-entity ordering semantics unchanged
+    pairs = sorted(
+        [(l, "convA") for l in binA["lsn"].unique()]
+        + [(l, "convB") for l in binB["lsn"].unique()]
+    )
+    gmap = {pair: i + 1 for i, pair in enumerate(pairs)}
+    binA["lsn"] = [gmap[(l, "convA")] for l in binA["lsn"]]
+    binB["lsn"] = [gmap[(l, "convB")] for l in binB["lsn"]]
+
+    combined = pd.concat([binA, binB], ignore_index=True)
+    seg_dir = str(tmp_path / "segments")
+    write_segments(combined, seg_dir)
+
+    cfgA, cfgB = _cfg(tmp_path, "A"), _cfg(tmp_path, "B")
+    routes = {"convA": (cfgA, [], TRANSCRIPTS), "convB": (cfgB, [], TRANSCRIPTS)}
+    bootstrap(spark, cfgA, baseA)
+    bootstrap(spark, cfgB, baseB)
+    run_replay_routed(
+        spark, seg_dir, routes, str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+
+    assert_frames_equal(final_state(spark, cfgA), replay_oracle(baseA, binA, []))
+    assert_frames_equal(final_state(spark, cfgB), replay_oracle(baseB, binB, []))
+
+    # per-entity ledgers are sparse: the dense gap check false-fails
+    with pytest.raises(AssertionError, match="LSN gap"):
+        lineage.check_invariants(spark, cfgA.manifest_dir)
+    # the union is dense and exact
+    inv = lineage.check_invariants(
+        spark, [cfgA.manifest_dir, cfgB.manifest_dir]
+    )
+    assert inv["events_distinct_total"] == gA.n_events + gB.n_events
+    assert inv["max_lsn"] == gA.n_events + gB.n_events

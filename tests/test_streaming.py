@@ -182,6 +182,43 @@ def test_cross_segment_redelivery_tolerated(spark, tmp_path):
     inv = lineage.check_invariants(spark, cfg.manifest_dir)
     assert inv["overlapping_batches"], "re-delivery must be reported as overlap"
     assert inv["max_lsn"] == 150
+    # EXACT cross-batch distinct: the re-delivered events are below the
+    # prior covered horizon, so they are not counted again (r2 summed
+    # per-batch distincts and overcounted to 160 here)
+    assert inv["events_distinct_total"] == 150
+
+
+def test_startup_reconciliation_heals_lost_lineage(spark, tmp_path):
+    """The async-lineage crash window the in-batch heal cannot reach: a
+    crash AFTER epoch N committed to the checkpoint but BEFORE its
+    background lineage write landed — N is never replayed, so only the
+    startup reconciliation (run before the stream starts) can rebuild
+    its manifest, from the checkpoint offset log's file set."""
+    from etl_spark.engine.apply import reconcile_lineage
+
+    _, base, ops, binlog, seg_dir, _ = gen_all(tmp_path)
+    cfg = make_cfg(tmp_path)
+    bootstrap(spark, cfg, base)
+    replay(spark, cfg, seg_dir, ops)
+    inv0 = lineage.check_invariants(spark, cfg.manifest_dir)
+
+    # simulate the crash: epoch 2 is committed (ledger + checkpoint)
+    # but its lineage file never landed
+    lost = os.path.join(cfg.manifest_dir, "batch-0000000002.parquet")
+    assert os.path.exists(lost)
+    os.remove(lost)
+
+    healed = reconcile_lineage(spark, cfg, ops)
+    assert healed == [2]
+    assert os.path.exists(lost)
+    inv1 = lineage.check_invariants(spark, cfg.manifest_dir)
+    assert inv1["events_distinct_total"] == inv0["events_distinct_total"] == 150
+    assert inv1["max_lsn"] == 150
+    # idempotent: nothing left to heal, and a fresh replay (which runs
+    # reconciliation internally) is still a no-op
+    assert reconcile_lineage(spark, cfg, ops) == []
+    replay(spark, cfg, seg_dir, ops)
+    assert_frames_equal(final_state(spark, cfg), replay_oracle(base, binlog, ops))
 
 
 def test_kafka_shaped_source_frame(spark, tmp_path):
