@@ -74,7 +74,15 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     tokens -> sliding window of n joined by ' '; documents shorter than
     n tokens contribute their full token string as one shingle so no
     document silently drops out of the candidate space.
+
+    The input is `spread` to session parallelism first: the expensive
+    normalize+explode expansion is narrow, so it would otherwise run
+    on however few partitions the doc scan produced (one file = one
+    core for the whole expansion).
     """
+    from etl_spark.operators.common import spread
+
+    df = spread(df)
     toks = F.split(normalized_text(F.col(text_col)), " ")
     grams = F.when(
         F.size(toks) < n, F.array(F.concat_ws(" ", toks))
@@ -102,7 +110,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_shingle_freq: int = 1000,
     cache_shingles: bool = True,
-    prefix_filter: bool = True,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by exact token-n-gram Jaccard >= threshold.
 
@@ -122,6 +130,16 @@ def ngram_jaccard_pairs(
     of them), and survivors are verified with exact Jaccard over the
     full shingle sets. The result set is provably identical, so the
     SQL oracle is unchanged.
+
+    WHEN to enable (measured, sf0.1 host): the prefix pass costs one
+    extra per-doc window (rank by global frequency) plus two semi-
+    joins, and pays off when shared-shingle fan-out dominates — on a
+    boilerplate-heavy corpus (4k docs sharing a 40-token header, no
+    freq cap) it is 4.1x faster (11.2 s vs 46.3 s); on the low-sharing
+    driver corpus it LOSES (5.5 s vs 2.4 s) because `max_shingle_freq`
+    already kills the mega-buckets and little fan-out remains. Default
+    off; turn on for template/license-heavy corpora or when the freq
+    cap must stay high to preserve recall.
     """
     sh0 = shingles(df, id_col, text_col, n)
     freq = (
@@ -336,6 +354,9 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     No SQL oracle (xxhash64 is Spark-specific); verified against a
     pure-Python reference in tests/test_operators.py.
     """
+    from etl_spark.operators.common import spread
+
+    df = spread(df)
     toks = (
         df.select(
             F.col(id_col).alias("id"),

@@ -54,6 +54,9 @@ def media_from_text(df: DataFrame, id_col: str, text_col: str, kind: str = "text
     """Wrap a text column as a media table (utf-8 payload bytes) —
     the sandbox stand-in for real image/audio ingestion. All metadata
     computed JVM-side."""
+    from etl_spark.operators.common import spread
+
+    df = spread(df)  # downstream mapInPandas decode is partition-bound
     payload = F.encode(F.col(text_col), "UTF-8")
     return df.select(
         F.col(id_col).cast("long").alias("media_id"),
@@ -163,7 +166,9 @@ def synthesize_images(
                 rows["sha256"].append(hashlib.sha256(payload).hexdigest())
             yield pd.DataFrame(rows)
 
-    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    from etl_spark.operators.common import spread
+
+    src = spread(df.select(F.col(id_col).cast("long").alias("media_id")))
     return src.mapInPandas(run, MEDIA_SCHEMA)
 
 

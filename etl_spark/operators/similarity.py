@@ -81,10 +81,14 @@ def cosine_topk(
     pairs excluded. `queries` is broadcast — it is the small side by
     contract (per-batch query sets).
     """
+    from etl_spark.operators.common import spread
+
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
     )
-    c = corpus.select(
+    # broadcast join keeps corpus partitioning — spread it so the
+    # Q x N scoring isn't serialized onto the scan's few partitions
+    c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_cv")
     )
     scored = (
@@ -128,12 +132,14 @@ def lsh_ann_topk(
     """Approximate top-k: candidates restricted to the query's LSH
     bucket. Same output shape as cosine_topk. One corpus shuffle on
     the bucket key; bucket sizes ~N/2^n_bits bound join fan-out."""
+    from etl_spark.operators.common import spread
+
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double(F.col(vec_col)).alias("_qv"),
         sign_bucket(F.col(vec_col), n_bits).alias("_bkt"),
     )
-    c = corpus.select(
+    c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("_cv"),
         sign_bucket(F.col(vec_col), n_bits).alias("_bkt"),
@@ -173,10 +179,14 @@ def ivf_assign(
     deterministic corpus prefix; production would k-means — the
     assignment/search shape is identical). Returns
     (id, cell, vec-as-double)."""
+    from etl_spark.operators.common import spread
+
     c = centroids.select(
         F.col(id_col).alias("_cell"), as_double(F.col(vec_col)).alias("_cv")
     )
-    v = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("_v"))
+    v = spread(df).select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("_v")
+    )
     score = dot(F.col("_v"), F.col("_cv"), dim) - 0.5 * dot(
         F.col("_cv"), F.col("_cv"), dim
     )

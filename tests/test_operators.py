@@ -67,6 +67,36 @@ def test_ngram_jaccard_pairs(spark, docs):
         assert abs(got[k] - exp[k]) < 1e-9
 
 
+def test_prefix_filter_is_lossless(spark, docs):
+    """Prefix filtering must return the IDENTICAL pair set — on the
+    hand-checked fixture and on a boilerplate-heavy corpus (shared
+    40-token header: the regime the filter exists for)."""
+    for thr in (0.3, 0.5, 0.8):
+        on = {tuple(r) for r in DD.ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=thr, prefix_filter=True).collect()}
+        off = {tuple(r) for r in DD.ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=thr, prefix_filter=False).collect()}
+        assert on == off
+        DD.release_caches()
+    import random
+
+    rnd = random.Random(7)
+    boiler = " ".join(f"tmpl{w}" for w in range(40))
+    rows = [
+        (i, boiler + " " + " ".join(f"w{rnd.randrange(60)}" for _ in range(6)))
+        for i in range(120)
+    ]
+    bdocs = spark.createDataFrame(rows, ["doc_id", "text"])
+    on = {tuple(r) for r in DD.ngram_jaccard_pairs(
+        bdocs, "doc_id", "text", threshold=0.6, max_shingle_freq=10_000,
+        prefix_filter=True).collect()}
+    off = {tuple(r) for r in DD.ngram_jaccard_pairs(
+        bdocs, "doc_id", "text", threshold=0.6, max_shingle_freq=10_000,
+        prefix_filter=False).collect()}
+    assert on == off and len(on) > 0
+    DD.release_caches()
+
+
 def test_minhash_lsh_finds_exact_and_near(spark, docs):
     rows = DD.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()
     pairs = {(r["id_a"], r["id_b"]) for r in rows}
