@@ -967,6 +967,31 @@ def q_mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: shuffle-free fan-out of each video
+    row into (media_id, frame_idx) stubs every 10th frame (duration
+    proxied from payload size; the decode itself is the codec layer).
+    Exact oracle: the sequence arithmetic is SQL-reproducible."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    media = MM.media_from_text(docs, "doc_id", "text", kind="video")
+    return MM.frame_sample_plan(media, every_n=10).select(
+        "media_id", F.col("frame_idx").cast("int").alias("frame_idx")
+    )
+
+
+SQL_MM_FRAME_SAMPLE = """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents WHERE doc_id % 3 = 0
+),
+r AS (SELECT range * 10 AS i FROM range(0, 10000))
+SELECT m.media_id, CAST(r.i AS INTEGER) AS frame_idx
+FROM media m JOIN r ON r.i <= m.n_bytes // 1000
+
+"""
+
+
 def q_mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode end-to-end: synthesize spec-valid PNG bytes
     (zlib IDAT, CRC chunks) / JPEG frame headers per doc_id, then
@@ -1142,6 +1167,7 @@ QUERIES = {
     "mm_binary_metadata": q_mm_binary_metadata,
     "mm_decode_features": q_mm_decode_features,
     "mm_decode_real": q_mm_decode_real,
+    "mm_frame_sample": q_mm_frame_sample,
     "cdc_events_replay": q_cdc_events_replay,
     "cdc_transcripts_replay": q_cdc_transcripts_replay,
 }
@@ -1180,6 +1206,7 @@ ORACLES = {
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "mm_binary_metadata": SQL_MM_BINARY,
     "mm_decode_real": SQL_MM_DECODE_REAL,
+    "mm_frame_sample": SQL_MM_FRAME_SAMPLE,
     "cdc_events_replay": SQL_CDC_EVENTS_REPLAY,
     # dedup_simhash, mm_decode_features, cdc_transcripts_replay:
     # intentionally no SQL oracle (non-SQL-expressible; rows-only)

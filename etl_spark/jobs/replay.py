@@ -29,13 +29,23 @@ import time
 from pyspark.sql import functions as F
 
 
-def ensure_corpus(work_dir: str, seed: int, n_events: int, segment_size: int):
-    """Generate (or reuse) the deterministic binlog corpus."""
+def ensure_corpus(
+    work_dir: str,
+    seed: int,
+    n_events: int,
+    segment_size: int,
+    zipf_alpha: float = 1.2,
+):
+    """Generate (or reuse) the deterministic binlog corpus.
+    `zipf_alpha` > ~2 makes a handful of conversations carry most of
+    the stream (the hot-key skew corpus for salting evidence)."""
     from etl_spark.gen.binlog import (
         GenConfig, gen_base, gen_binlog, gen_schema_ops, write_segments,
     )
 
     tag = f"seed{seed}_n{n_events}_seg{segment_size}"
+    if zipf_alpha != 1.2:
+        tag += f"_z{zipf_alpha}"
     root = os.path.join(work_dir, f"corpus_{tag}")
     seg_dir = os.path.join(root, "segments")
     base_path = os.path.join(root, "base.parquet")
@@ -48,6 +58,7 @@ def ensure_corpus(work_dir: str, seed: int, n_events: int, segment_size: int):
         dup_rate=0.03,
         disorder_window=16,
         schema_op_fracs=(0.25, 0.5, 0.75),
+        zipf_alpha=zipf_alpha,
     )
     if not os.path.exists(os.path.join(root, "_DONE")):
         shutil.rmtree(root, ignore_errors=True)
@@ -73,8 +84,10 @@ def run(args) -> dict:
     from etl_spark.pipeline import bootstrap, replay
     from etl_spark.session import get_spark
 
+    zipf = getattr(args, "zipf_alpha", 1.2)
+    salt = getattr(args, "salt_buckets", 0)
     seg_dir, base_path, ops = ensure_corpus(
-        args.work_dir, args.seed, args.n_events, args.segment_size
+        args.work_dir, args.seed, args.n_events, args.segment_size, zipf
     )
 
     run_dir = os.path.join(args.work_dir, f"run_p{args.parallelism}")
@@ -85,6 +98,7 @@ def run(args) -> dict:
         checkpoint_dir=os.path.join(run_dir, "ckpt"),
         num_buckets=args.num_buckets,
         max_files_per_trigger=args.max_files_per_trigger,
+        salt_buckets=salt,
     )
     spark = get_spark(
         f"cdc_replay_p{args.parallelism}",
@@ -155,6 +169,8 @@ def main() -> None:
     p.add_argument("--num-buckets", type=int, default=32)
     p.add_argument("--max-files-per-trigger", type=int, default=4)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--zipf-alpha", type=float, default=1.2)
+    p.add_argument("--salt-buckets", type=int, default=0)
     p.add_argument(
         "--stop-session", action=argparse.BooleanOptionalAction, default=True
     )

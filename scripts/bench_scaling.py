@@ -21,6 +21,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def run_level(
     work_dir: str, n_events: int, parallelism: int,
     segment_size: int = 200_000, mft: int = 20,
+    zipf: float = 1.2, salt: int = 0,
 ) -> dict:
     # Pin the WHOLE process (JVM task threads + GC + IO + Python
     # workers) to exactly `parallelism` cores: local[N] alone still
@@ -38,6 +39,8 @@ def run_level(
             "--segment-size", str(segment_size),
             "--max-files-per-trigger", str(mft),
             "--parallelism", str(parallelism),
+            "--zipf-alpha", str(zipf),
+            "--salt-buckets", str(salt),
         ],
         cwd=REPO,
         capture_output=True,
@@ -53,6 +56,12 @@ def main() -> None:
     p_lo = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     p_hi = int(sys.argv[3]) if len(sys.argv) > 3 else 4 * p_lo
     work_dir = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp/etl_spark_bench")
+    # skew-evidence knobs: SPARK_GRAFT_ZIPF=2.5 makes one conversation
+    # dominate the stream; SPARK_GRAFT_SALT=8 turns on the salted
+    # two-phase resolve. Pair with SPARK_GRAFT_NO_MD=1 so the skew run
+    # doesn't overwrite the headline BENCH.md section.
+    zipf = float(os.environ.get("SPARK_GRAFT_ZIPF", "1.2"))
+    salt = int(os.environ.get("SPARK_GRAFT_SALT", "0"))
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     # The sandbox host is virtualized with hypervisor CPU-steal spikes
@@ -64,8 +73,8 @@ def main() -> None:
     # full per-pair spread is printed and recorded in BENCH.md.
     pairs = []
     for _ in range(repeats):
-        lo = run_level(work_dir, n_events, p_lo)
-        hi = run_level(work_dir, n_events, p_hi)
+        lo = run_level(work_dir, n_events, p_lo, zipf=zipf, salt=salt)
+        hi = run_level(work_dir, n_events, p_hi, zipf=zipf, salt=salt)
         print(json.dumps(lo))
         print(json.dumps(hi))
         pairs.append((lo, hi))
@@ -165,12 +174,15 @@ the sandbox's, not the design's.
     if os.environ.get("SPARK_GRAFT_NO_MD"):
         return
     path = os.path.join(REPO, "BENCH.md")
-    head = ""
+    head = tail = ""
     if os.path.exists(path):
         cur = open(path).read()
         head = cur.split("## 3. Measured results")[0]
+        # preserve sections after the rewritten block (3.4+)
+        if "### 3.4" in cur:
+            tail = "### 3.4" + cur.split("### 3.4", 1)[1]
     with open(path, "w") as fh:
-        fh.write(head + md)
+        fh.write(head + md + "\n" + tail)
     print(f"wrote {path}")
 
 
