@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "embedding_neardup",
     "mm_decode_features",
     "mm_decode_real",
+    "mm_decode_audio",
 ]
 
 

@@ -1024,6 +1024,41 @@ FROM documents d LEFT JOIN px USING (doc_id)
 """
 
 
+def q_mm_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: synthesize spec-valid RIFF/WAVE
+    PCM bytes per doc_id (operators/audiocodec.py — stdlib-`wave`-
+    openable), then decode them back via mapInPandas (generic chunk
+    walk + fmt parse + PCM sample sum). The oracle recomputes
+    n_samples/rate/duration/sample_sum from doc_id arithmetic, so a
+    hash match proves the PCM payload round-tripped through a genuine
+    encoder+decoder."""
+    docs = _t(spark, sf_dir, "documents")
+    media = MM.synthesize_audio(docs, "doc_id")
+    return MM.decode_audio_meta(media)
+
+
+SQL_MM_DECODE_AUDIO = """
+WITH r AS (SELECT range AS i FROM range(0, 261)),
+s AS (
+  SELECT d.doc_id,
+         CAST(SUM((d.doc_id*13 + 37*r.i) % 65536 - 32768) AS BIGINT)
+           AS sample_sum
+  FROM documents d JOIN r ON r.i < 50 + d.doc_id % 211
+  GROUP BY d.doc_id
+)
+SELECT d.doc_id AS media_id,
+       'wav' AS format,
+       CAST(8000 + (d.doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(16 AS INTEGER) AS bit_depth,
+       CAST(50 + d.doc_id % 211 AS BIGINT) AS n_samples,
+       CAST(50 + d.doc_id % 211 AS BIGINT) * 1000000
+         // (8000 + (d.doc_id % 3) * 4000) AS duration_us,
+       s.sample_sum AS sample_sum
+FROM documents d JOIN s USING (doc_id)
+"""
+
+
 # =====================================================================
 # Full CDC engine replay over the driver's events table — the flagship
 # STREAMING path (file-source micro-batches, checkpoint, foreachBatch,
@@ -1167,6 +1202,7 @@ QUERIES = {
     "mm_binary_metadata": q_mm_binary_metadata,
     "mm_decode_features": q_mm_decode_features,
     "mm_decode_real": q_mm_decode_real,
+    "mm_decode_audio": q_mm_decode_audio,
     "mm_frame_sample": q_mm_frame_sample,
     "cdc_events_replay": q_cdc_events_replay,
     "cdc_transcripts_replay": q_cdc_transcripts_replay,
@@ -1206,6 +1242,7 @@ ORACLES = {
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "mm_binary_metadata": SQL_MM_BINARY,
     "mm_decode_real": SQL_MM_DECODE_REAL,
+    "mm_decode_audio": SQL_MM_DECODE_AUDIO,
     "mm_frame_sample": SQL_MM_FRAME_SAMPLE,
     "cdc_events_replay": SQL_CDC_EVENTS_REPLAY,
     # dedup_simhash, mm_decode_features, cdc_transcripts_replay:

@@ -81,10 +81,18 @@ def merge_into(
     if not already_cached:
         src = src.persist()
     try:
-        # Bounded driver transfer: one int per touched bucket (<= num_buckets).
-        touched = sorted(
-            r[0] for r in src.select(BUCKET_COL).distinct().collect()
-        )
+        # Bounded driver transfer: one (bucket, count) row per touched
+        # bucket (<= num_buckets, never O(rows)). The counts feed the
+        # write-skew guard: a Zipf-hot conversation concentrates most
+        # of the batch into one hash bucket, and the staging write must
+        # know to split that bucket across tasks (lake/table.py
+        # `_stage_dataframe`). Same single job as the previous
+        # distinct() — the aggregation collapses map-side.
+        bucket_counts = {
+            r[0]: r[1]
+            for r in src.groupBy(BUCKET_COL).count().collect()
+        }
+        touched = sorted(bucket_counts)
         if not touched:
             return m.version
 
@@ -128,7 +136,11 @@ def merge_into(
         merged = j.select(*out_cols).withColumn(BUCKET_COL, table.bucket_expr(m))
 
         return table.overwrite_buckets(
-            merged, touched, batch_key=batch_key, batch_stats=batch_stats
+            merged,
+            touched,
+            batch_key=batch_key,
+            batch_stats=batch_stats,
+            bucket_counts=bucket_counts,
         )
     finally:
         if not already_cached:

@@ -349,11 +349,35 @@ class LakeTable:
     def has_batch(self, batch_key: str) -> bool:
         return batch_key in self.manifest().committed_batches
 
-    def _stage_dataframe(self, df: DataFrame, m: Manifest, version: int) -> list[DataFile]:
+    def _stage_dataframe(
+        self,
+        df: DataFrame,
+        m: Manifest,
+        version: int,
+        bucket_counts: dict[int, int] | None = None,
+    ) -> list[DataFile]:
         """Write `df` (must carry BUCKET_COL plus the physical schema)
         under data/, one parquet dir per bucket, and return the new
         DataFile entries. Not yet visible — only the manifest commit
-        publishes them."""
+        publishes them.
+
+        `bucket_counts` (per-bucket source row counts, when the caller
+        already has them) drives the write-skew guard: the default
+        layout is one shuffle partition — hence ONE writing task — per
+        bucket, which serializes a hot bucket's entire rewrite (a
+        Zipf-hot conversation concentrates most of a batch into one
+        hash(conv_id) bucket; measured eff 0.89 -> 0.766 at 1->4 cores
+        on a zipf-2.5 corpus). When the counts show real imbalance,
+        stage through AQE REBALANCE on the bucket column instead:
+        the adaptive shuffle reader SPLITS oversized bucket partitions
+        (spark.sql.adaptive.optimizeSkewsInRebalancePartitions, on by
+        default) and coalesces small ones to the advisory partition
+        size, so the hot bucket is written by several parallel tasks —
+        each split lands as its own file under the bucket's directory
+        (the dynamic-partition writer keys files by bucket value, and
+        multi-file buckets are already first-class: read globs them,
+        compaction re-packs them). Balanced batches keep the exact
+        one-file-per-bucket layout."""
         token = uuid.uuid4().hex[:12]
         rel = os.path.join("data", f"c{version:010d}-{token}")
         out_dir = os.path.join(self.root, rel)
@@ -366,15 +390,25 @@ class LakeTable:
             F.col(SYS_LSN).cast("long").alias(SYS_LSN),
             F.col(SYS_DELETED).cast("boolean").alias(SYS_DELETED),
         ]
-        (
-            df.select(F.col(BUCKET_COL), *cols)
-            # one output file per bucket: buckets are the unit of CoW
-            # rewrite, so keep them compact
-            .repartition(BUCKET_COL)
-            .write.partitionBy(BUCKET_COL)
-            .mode("error")
-            .parquet(out_dir)
+        staged_df = df.select(F.col(BUCKET_COL), *cols)
+        counts = list((bucket_counts or {}).values())
+        # skewed iff one bucket exceeds 2x a single task's ideal share
+        # (sum/width): only then does the one-task-per-bucket layout
+        # leave cores idle behind a straggler. At width=1 there is no
+        # parallelism to recover, so the compact layout always wins.
+        width = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        skewed = (
+            len(counts) > 1
+            and width > 1
+            and max(counts) * width > 2 * sum(counts)
         )
+        if skewed:
+            staged_df = staged_df.hint("rebalance", BUCKET_COL)
+        else:
+            # balanced: one output file per bucket — buckets are the
+            # unit of CoW rewrite, so keep them compact
+            staged_df = staged_df.repartition(BUCKET_COL)
+        staged_df.write.partitionBy(BUCKET_COL).mode("error").parquet(out_dir)
         staged: list[DataFile] = []
         for sub in sorted(os.listdir(out_dir)):
             if not sub.startswith(f"{BUCKET_COL}="):
@@ -394,16 +428,19 @@ class LakeTable:
         batch_key: str | None = None,
         batch_stats: dict | None = None,
         props_update: dict | None = None,
+        bucket_counts: dict[int, int] | None = None,
     ) -> int:
         """Copy-on-write commit: replace `replaced_buckets` with the
         contents of `df` (which must carry BUCKET_COL, system columns,
         and only rows belonging to those buckets). Files in untouched
-        buckets carry over untouched. Returns the new version."""
+        buckets carry over untouched. `bucket_counts` (optional)
+        engages the write-skew guard in `_stage_dataframe`. Returns the
+        new version."""
         m = self.manifest()
         if batch_key is not None and batch_key in m.committed_batches:
             return m.version  # idempotent replay of a committed batch
         new_version = m.version + 1
-        staged = self._stage_dataframe(df, m, new_version)
+        staged = self._stage_dataframe(df, m, new_version, bucket_counts=bucket_counts)
         replaced = set(replaced_buckets)
         bad = [f for f in staged if f.bucket not in replaced]
         if bad:

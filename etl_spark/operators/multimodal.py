@@ -10,11 +10,13 @@ Design for a 100 TB media corpus:
   shuffle story) is identical to any other column op;
 - the codec is REAL for images (operators/imagecodec.py — pure-stdlib
   spec-valid PNG round-trip incl. zlib pixel decode, JPEG frame-header
-  parse): `synthesize_images` emits genuine PNG/JPEG bytes and
-  `decode_image_meta` / `decode_features(..., fake=False)` decode them
-  back; audio/video codecs would slot into the same mapInPandas shape
-  but need libs this container lacks, so `decode_features(fake=True)`
-  keeps the deterministic byte-hash stand-in for non-image kinds.
+  parse) and REAL for audio (operators/audiocodec.py — RIFF/WAVE PCM
+  round-trip incl. sample-sum decode): `synthesize_images` /
+  `synthesize_audio` emit genuine bytes and `decode_image_meta` /
+  `decode_audio_meta` / `decode_features(..., fake=False)` decode them
+  back; video codecs would slot into the same mapInPandas shape but
+  need libs this container lacks, so `decode_features(fake=True)`
+  keeps the deterministic byte-hash stand-in for that kind.
 
 The reference treats every payload as JSON text (no binary columns);
 this is training-pipeline surface beyond it.
@@ -28,7 +30,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from etl_spark.operators import imagecodec
+from etl_spark.operators import audiocodec, imagecodec
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -195,6 +197,79 @@ def decode_image_meta(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, IMAGE_META_SCHEMA)
+
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("channels", T.IntegerType(), False),
+        T.StructField("bit_depth", T.IntegerType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("duration_us", T.LongType(), False),
+        T.StructField("sample_sum", T.LongType(), True),
+    ]
+)
+
+
+def synthesize_audio(
+    df: DataFrame, id_col: str, max_extra_samples: int = 211
+) -> DataFrame:
+    """Deterministic audio-media synthesis: every id becomes a
+    spec-valid mono 16-bit PCM WAV (sample i = ((id*13 + 37*i) % 65536)
+    - 32768). Clip length and rate are pure functions of the id
+    (n = 50 + id % max_extra_samples, rate = 8000 + (id % 3) * 4000) so
+    a SQL oracle can recompute everything the decoder must recover from
+    the bytes, including the sample sum. mapInPandas — synthesis is
+    embarrassingly parallel and payloads never touch the driver."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "kind": [], "payload": [],
+                    "n_bytes": [], "sha256": []}
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n = 50 + mid % max_extra_samples
+                rate = 8000 + (mid % 3) * 4000
+                payload = audiocodec.encode_wav(n, rate, seed=mid * 13)
+                rows["media_id"].append(mid)
+                rows["kind"].append("audio")
+                rows["payload"].append(payload)
+                rows["n_bytes"].append(len(payload))
+                rows["sha256"].append(hashlib.sha256(payload).hexdigest())
+            yield pd.DataFrame(rows)
+
+    from etl_spark.operators.common import spread
+
+    src = spread(df.select(F.col(id_col).cast("long").alias("media_id")))
+    return src.mapInPandas(run, MEDIA_SCHEMA)
+
+
+def decode_audio_meta(media: DataFrame) -> DataFrame:
+    """REAL audio decode over Arrow batches: RIFF chunk walk → fmt
+    parse → PCM sample decode + sum (operators/audiocodec.py). Fixed
+    output schema, partition-parallel, nothing on the driver."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [audiocodec.decode_wav(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": [m["format"] for m in metas],
+                    "sample_rate": [m["sample_rate"] for m in metas],
+                    "channels": [m["channels"] for m in metas],
+                    "bit_depth": [m["bit_depth"] for m in metas],
+                    "n_samples": [m["n_samples"] for m in metas],
+                    "duration_us": [m["duration_us"] for m in metas],
+                    "sample_sum": pd.array(
+                        [m["sample_sum"] for m in metas], dtype="Int64"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(run, AUDIO_META_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:

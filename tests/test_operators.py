@@ -254,3 +254,46 @@ def test_decode_features_real_codec(spark, docs):
     text_media = MM.media_from_text(docs, "doc_id", "text")
     with pytest.raises(Exception):  # ValueError inside the worker
         MM.decode_features(text_media, fake=False).collect()
+
+
+def test_audio_codec_round_trip_pure():
+    """Pure-function WAV codec: encode → decode recovers format params
+    and the exact PCM sample sum; stdlib `wave` independently opens the
+    bytes (spec validity, not self-consistency)."""
+    import io
+    import wave
+
+    from etl_spark.operators import audiocodec as AC
+
+    for n, rate, seed in [(1, 8000, 0), (50, 12000, 91), (260, 16000, 65535)]:
+        payload = AC.encode_wav(n, rate, seed)
+        m = AC.decode_wav(payload)
+        assert (m["format"], m["sample_rate"], m["channels"], m["bit_depth"]) == (
+            "wav", rate, 1, 16)
+        assert m["n_samples"] == n
+        assert m["duration_us"] == n * 1_000_000 // rate
+        assert m["sample_sum"] == sum(
+            ((seed + 37 * i) % 65536) - 32768 for i in range(n))
+        w = wave.open(io.BytesIO(payload))
+        assert (w.getnchannels(), w.getsampwidth(), w.getframerate(),
+                w.getnframes()) == (1, 2, rate, n)
+    with pytest.raises(ValueError):
+        AC.decode_wav(b"RIFFxxxxNOPE")
+
+
+def test_synthesize_and_decode_audio_spark(spark, docs):
+    """End-to-end through mapInPandas: synthesized WAV bytes decode
+    back to the arithmetic-predicted metadata and sample sums."""
+    media = MM.synthesize_audio(docs, "doc_id")
+    out = {r["media_id"]: r for r in MM.decode_audio_meta(media).collect()}
+    assert len(out) == len(DOCS)
+    for doc_id, _txt in DOCS:
+        r = out[doc_id]
+        n = 50 + doc_id % 211
+        rate = 8000 + (doc_id % 3) * 4000
+        assert (r["format"], r["sample_rate"], r["channels"],
+                r["bit_depth"]) == ("wav", rate, 1, 16)
+        assert r["n_samples"] == n
+        assert r["duration_us"] == n * 1_000_000 // rate
+        assert r["sample_sum"] == sum(
+            ((doc_id * 13 + 37 * i) % 65536) - 32768 for i in range(n))
