@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "mm_decode_features",
     "mm_decode_real",
     "mm_decode_audio",
+    "asof_click_error",
 ]
 
 

@@ -1059,6 +1059,51 @@ FROM documents d JOIN s USING (doc_id)
 """
 
 
+def q_asof_click_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): every click event annotated
+    with the same user's most recent PRIOR error event (backward,
+    inclusive). Spark has no native as-of join; the operator is the
+    union + carry-forward-window formulation (one shuffle on the key,
+    no per-key pair space) and the oracle is DuckDB's native
+    ASOF LEFT JOIN — two independent formulations of the semantics,
+    value-hash compared. (user_id, ts) is unique per side in the
+    testdata, so the match is engine-unambiguous."""
+    from etl_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    errors = ev.filter(F.col("event_type") == "error")
+    j = asof_join(
+        clicks,
+        errors,
+        on=["user_id"],
+        left_ts="ts",
+        right_cols=["event_id", "value"],
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp_ltz"))  # noqa: E731
+    return j.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("user_id"),
+        us("ts").alias("click_us"),
+        us("ts_r").alias("err_us"),
+        F.col("event_id_r").alias("err_id"),
+        F.col("value_r").alias("err_value"),
+    )
+
+
+SQL_ASOF_CLICK_ERROR = """
+SELECT l.event_id AS click_id,
+       l.user_id AS user_id,
+       epoch_us(l.ts) AS click_us,
+       epoch_us(r.ts) AS err_us,
+       r.event_id AS err_id,
+       r.value AS err_value
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 # =====================================================================
 # Full CDC engine replay over the driver's events table — the flagship
 # STREAMING path (file-source micro-batches, checkpoint, foreachBatch,
@@ -1204,6 +1249,7 @@ QUERIES = {
     "mm_decode_real": q_mm_decode_real,
     "mm_decode_audio": q_mm_decode_audio,
     "mm_frame_sample": q_mm_frame_sample,
+    "asof_click_error": q_asof_click_error,
     "cdc_events_replay": q_cdc_events_replay,
     "cdc_transcripts_replay": q_cdc_transcripts_replay,
 }
@@ -1244,6 +1290,7 @@ ORACLES = {
     "mm_decode_real": SQL_MM_DECODE_REAL,
     "mm_decode_audio": SQL_MM_DECODE_AUDIO,
     "mm_frame_sample": SQL_MM_FRAME_SAMPLE,
+    "asof_click_error": SQL_ASOF_CLICK_ERROR,
     "cdc_events_replay": SQL_CDC_EVENTS_REPLAY,
     # dedup_simhash, mm_decode_features, cdc_transcripts_replay:
     # intentionally no SQL oracle (non-SQL-expressible; rows-only)

@@ -91,6 +91,17 @@ def main() -> None:
                    and "BroadcastHashJoin" not in p))
     checks.append(("sessionize <= 2 exchanges", p.count("Exchange") <= 2))
 
+    # as-of join: must be the union + carry-forward-window formulation
+    # — zero join operators (no per-key pair space) and exactly one
+    # hash exchange on the match key
+    from etl_spark.contract import q_asof_click_error
+
+    p = plan_of(q_asof_click_error(spark, sf_dir))
+    checks.append(("asof has no join operator", "Join" not in p))
+    checks.append(
+        ("asof single key exchange", p.count("Exchange hashpartitioning") == 1)
+    )
+
     # IVF: the centroid set is broadcast (assignment is a broadcast
     # NLJ over <= n_cells rows, never a shuffle cartesian) and the
     # cell search is an equi-join

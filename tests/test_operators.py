@@ -297,3 +297,72 @@ def test_synthesize_and_decode_audio_spark(spark, docs):
         assert r["duration_us"] == n * 1_000_000 // rate
         assert r["sample_sum"] == sum(
             ((doc_id * 13 + 37 * i) % 65536) - 32768 for i in range(n))
+
+
+# ------------------------------------------------------------- as-of
+def test_asof_join_backward_forward_tolerance(spark):
+    """Hand-checkable as-of semantics: backward inclusive match,
+    forward mirror, tolerance voiding, unmatched nulls, key isolation."""
+    from etl_spark.operators.asof import asof_join
+
+    TS = "2024-01-01 00:{:02d}:00"
+    left = spark.createDataFrame(
+        [(1, TS.format(10)), (1, TS.format(3)), (1, TS.format(5)),
+         (2, TS.format(10)), (3, TS.format(1))],
+        ["k", "ts"],
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, TS.format(4), "a"), (1, TS.format(5), "b"), (1, TS.format(9), "c"),
+         (2, TS.format(11), "d")],
+        ["k", "ts", "v"],
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "v")
+
+    back = {
+        (r["k"], r["ts"].minute): r["v_r"]
+        for r in asof_join(left, right, on=["k"], left_ts="ts").collect()
+    }
+    # min 10 -> c (9); min 5 -> b (equal ts, inclusive); min 3 -> none;
+    # k=2's only right row is AFTER it; k=3 has no right rows at all
+    assert back == {(1, 10): "c", (1, 5): "b", (1, 3): None,
+                    (2, 10): None, (3, 1): None}
+
+    fwd = {
+        (r["k"], r["ts"].minute): r["v_r"]
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", direction="forward"
+        ).collect()
+    }
+    assert fwd == {(1, 10): None, (1, 5): "b", (1, 3): "a",
+                   (2, 10): "d", (3, 1): None}
+
+    tol = {
+        (r["k"], r["ts"].minute): r["v_r"]
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", tolerance_us=60_000_000
+        ).collect()
+    }
+    # 1-minute band: (1,10) is 1 min after c -> kept; others unmatched
+    assert tol == {(1, 10): "c", (1, 5): "b", (1, 3): None,
+                   (2, 10): None, (3, 1): None}
+
+
+def test_asof_join_plan_has_no_join(spark):
+    """The operator must be the union+window formulation: ONE exchange
+    on the key, zero join operators — the property that makes it safe
+    at 10^10 rows."""
+    from etl_spark.operators.asof import asof_join
+
+    left = spark.range(100).select(
+        (F.col("id") % 5).alias("k"),
+        F.timestamp_micros(F.col("id") * 1_000_000).alias("ts"),
+    )
+    right = spark.range(50).select(
+        (F.col("id") % 5).alias("k"),
+        F.timestamp_micros(F.col("id") * 2_000_000).alias("ts"),
+        F.col("id").alias("v"),
+    )
+    plan = asof_join(
+        left, right, on=["k"], left_ts="ts"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
