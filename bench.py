@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "mm_decode_real",
     "mm_decode_audio",
     "asof_click_error",
+    "cdc_changes_feed",
 ]
 
 

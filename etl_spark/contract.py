@@ -1059,6 +1059,91 @@ FROM documents d JOIN s USING (doc_id)
 """
 
 
+def q_cdc_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed over the lake's version history
+    (lake/changes.py): build the table in two MERGE commits (events
+    split at the half-way LSN; value < 10 events are deletes), then
+    read the second commit's changes — inserts, update pre/post
+    images, deletes, resurrections — classified by version-manifest
+    diff + LSN guard. The oracle recomputes the same feed from first
+    principles in SQL: latest-per-key state at the half vs at the end,
+    full-outer joined and classified. Hash-exact including pre-image
+    values and tombstone LSNs."""
+    from etl_spark.lake.changes import read_changes
+
+    ev = _t(spark, sf_dir, "events")
+    n_half = ev.count() // 2
+    root = _tmp("cdf")
+    table = LakeTable.create(
+        spark,
+        root,
+        fields=[("user_id", "long"), ("event_type", "string"),
+                ("value", "double")],
+        key=["user_id", "event_type"],
+        bucket_by="user_id",
+        num_buckets=16,
+    )
+    src = ev.select(
+        "user_id", "event_type", "value",
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("value") < 10.0, "D").otherwise("U").alias("op"),
+    )
+    key = ["user_id", "event_type"]
+    v0 = merge_into(
+        table, resolve_max_lsn(src.filter(F.col("lsn") < n_half), key),
+        batch_key="b0",
+    )
+    v1 = merge_into(
+        table, resolve_max_lsn(src.filter(F.col("lsn") >= n_half), key),
+        batch_key="b1",
+    )
+    ch = read_changes(table, v0, v1, include_pre_images=True)
+    return ch.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.col("_change_type").alias("change_type"),
+        F.col("_change_lsn").alias("change_lsn"),
+    )
+
+
+SQL_CDC_CHANGES_FEED = """
+WITH h AS (SELECT count(*) // 2 AS h FROM events),
+s1 AS (SELECT user_id, event_type, value, event_id,
+              value >= 10.0 AS live
+       FROM (SELECT e.*, row_number() OVER (PARTITION BY user_id, event_type
+                                            ORDER BY event_id DESC) AS rn
+             FROM events e, h WHERE e.event_id < h.h)
+       WHERE rn = 1),
+s2 AS (SELECT user_id, event_type, value, event_id,
+              value >= 10.0 AS live
+       FROM (SELECT e.*, row_number() OVER (PARTITION BY user_id, event_type
+                                            ORDER BY event_id DESC) AS rn
+             FROM events e)
+       WHERE rn = 1),
+j AS (SELECT coalesce(s1.user_id, s2.user_id) AS user_id,
+             coalesce(s1.event_type, s2.event_type) AS event_type,
+             s1.value AS val1, s2.value AS val2,
+             s1.event_id AS l1, s2.event_id AS l2,
+             coalesce(s1.live, FALSE) AS live1,
+             coalesce(s2.live, FALSE) AS live2
+      FROM s1 FULL OUTER JOIN s2
+        ON s1.user_id = s2.user_id AND s1.event_type = s2.event_type)
+SELECT user_id, event_type, val2 AS value,
+       'insert' AS change_type, l2 AS change_lsn
+FROM j WHERE live2 AND NOT live1 AND (l1 IS NULL OR l2 > l1)
+UNION ALL
+SELECT user_id, event_type, val2, 'update_postimage', l2
+FROM j WHERE live1 AND live2 AND l2 > l1
+UNION ALL
+SELECT user_id, event_type, val1, 'update_preimage', l1
+FROM j WHERE live1 AND live2 AND l2 > l1
+UNION ALL
+SELECT user_id, event_type, val1, 'delete', l2
+FROM j WHERE live1 AND NOT live2 AND l2 > l1
+"""
+
+
 def q_asof_click_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py): every click event annotated
     with the same user's most recent PRIOR error event (backward,
@@ -1250,6 +1335,7 @@ QUERIES = {
     "mm_decode_audio": q_mm_decode_audio,
     "mm_frame_sample": q_mm_frame_sample,
     "asof_click_error": q_asof_click_error,
+    "cdc_changes_feed": q_cdc_changes_feed,
     "cdc_events_replay": q_cdc_events_replay,
     "cdc_transcripts_replay": q_cdc_transcripts_replay,
 }
@@ -1291,6 +1377,7 @@ ORACLES = {
     "mm_decode_audio": SQL_MM_DECODE_AUDIO,
     "mm_frame_sample": SQL_MM_FRAME_SAMPLE,
     "asof_click_error": SQL_ASOF_CLICK_ERROR,
+    "cdc_changes_feed": SQL_CDC_CHANGES_FEED,
     "cdc_events_replay": SQL_CDC_EVENTS_REPLAY,
     # dedup_simhash, mm_decode_features, cdc_transcripts_replay:
     # intentionally no SQL oracle (non-SQL-expressible; rows-only)

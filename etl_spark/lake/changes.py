@@ -1,0 +1,185 @@
+"""Change-data-feed read over the lake table's version history — the
+lake does not just INGEST CDC, it can EMIT it downstream (the
+Delta-CDF / Iceberg-changelog-scan counterpart for this format).
+
+`read_changes(table, v_from, v_to)` returns one row per logical
+change committed in versions (v_from, v_to]:
+
+    <current logical columns> + _change_type + _commit_version
+                              + _change_lsn
+
+with `_change_type` ∈ insert | update_preimage | update_postimage |
+delete. Delete and pre-image rows carry the OLD row's column values
+(the tombstone itself stores null payloads); insert/post-image rows
+carry the new values and the new LSN.
+
+Scale design (10^10-row table, 10^10-event history):
+- Each commit's diff is bounded by that commit's FOOTPRINT, not the
+  table: the manifests pin exact file lists, so the changed buckets
+  are (files added ∪ files removed) — the same buckets the MERGE that
+  created the commit touched — and both sides of the diff scan only
+  those buckets' files (bucket pruning, same path the MERGE reads).
+- Per commit the classification is ONE per-bucket equi-join on the
+  table key; change rows are derived in a single pass over the join
+  via an array-of-structs + filter + explode (no N filtered re-scans
+  of the join for the N change types).
+- Carried-over rows (a CoW bucket rewrite copies untouched neighbors
+  of a hot key) classify as unchanged through the LSN guard — equal
+  `_lsn` on both sides emits nothing — so compaction and skew-split
+  rewrites produce EMPTY feeds, as they must (verified in tests).
+- Schema evolution is handled by reading BOTH sides under the newer
+  manifest's field-ID mapping (`LakeTable._read_files` maps any
+  historical schema_id forward), so a feed spanning an add/rename/
+  widen commit still yields rows in one consistent schema.
+- Consumers should read bounded version windows (the union plan grows
+  with commit count); the checkpoint-style pattern is to persist
+  `table.current_version()` after each consumed window, exactly like
+  the engine's own batch ledger.
+
+The reference has no change feed (its sink is append-only JDBC,
+/root/reference/src/pipeline/core/client_clickhouse.py); this is the
+downstream half of the CDC story the north rule's ingest half implies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from etl_spark.lake.table import SYS_DELETED, SYS_LSN, LakeTable
+
+CHANGE_TYPE = "_change_type"
+COMMIT_VERSION = "_commit_version"
+CHANGE_LSN = "_change_lsn"
+
+INSERT = "insert"
+UPDATE_PRE = "update_preimage"
+UPDATE_POST = "update_postimage"
+DELETE = "delete"
+
+
+def _commit_changes(
+    table: LakeTable, v: int, include_pre_images: bool
+) -> DataFrame | None:
+    """Diff version v against v-1, restricted to the buckets v touched;
+    None when the commit changed no data files."""
+    m_new = table.manifest(v)
+    m_old = table.manifest(v - 1)
+    new_paths = {f.path for f in m_new.files}
+    old_paths = {f.path for f in m_old.files}
+    buckets = {f.bucket for f in m_new.files if f.path not in old_paths} | {
+        f.bucket for f in m_old.files if f.path not in new_paths
+    }
+    if not buckets:
+        return None
+
+    mor = table.write_mode(m_new) == "mor"
+
+    def side(m_files, alias: str) -> DataFrame:
+        files = [f for f in m_files if f.bucket in buckets]
+        df = table._read_files(m_new, files)
+        if df is None:
+            df = table.spark.createDataFrame(
+                [], m_new.schema.struct(with_system=True)
+            )
+        elif mor:
+            df = table._resolve_versions(df, m_new)
+        non_key = [c for c in df.columns if c not in m_new.key]
+        return df.select(
+            *m_new.key, F.struct(*[F.col(c) for c in non_key]).alias(alias)
+        )
+
+    o = side(m_old.files, "_o")
+    n = side(m_new.files, "_n")
+    j = o.join(n, list(m_new.key), "full_outer")
+
+    def live(s: str):
+        return F.col(s).isNotNull() & ~F.coalesce(
+            F.col(f"{s}.{SYS_DELETED}"), F.lit(False)
+        )
+    o_live, n_live = live("_o"), live("_n")
+    # a row CHANGED in this commit iff the new side exists and carries a
+    # strictly newer LSN (carried-over rows in a CoW bucket rewrite and
+    # compaction copies have equal LSNs → no emission)
+    newer = F.col("_n").isNotNull() & (
+        F.col("_o").isNull() | (F.col(f"_n.{SYS_LSN}") > F.col(f"_o.{SYS_LSN}"))
+    )
+
+    fields = [f.name for f in m_new.schema.fields]
+    non_key = [c for c in fields if c not in m_new.key]
+
+    def change(cond, ctype: str, src: str, lsn):
+        # one candidate struct per change type; null when not applicable
+        return F.when(
+            cond,
+            F.struct(
+                *[F.col(f"{src}.{c}").alias(c) for c in non_key],
+                F.lit(ctype).alias(CHANGE_TYPE),
+                lsn.cast("long").alias(CHANGE_LSN),
+            ),
+        )
+
+    n_lsn, o_lsn = F.col(f"_n.{SYS_LSN}"), F.col(f"_o.{SYS_LSN}")
+    candidates = [
+        # first live appearance of the key (fresh insert or a
+        # resurrection over a tombstone)
+        change(~o_live & n_live & newer, INSERT, "_n", n_lsn),
+        change(o_live & n_live & newer, UPDATE_POST, "_n", n_lsn),
+        # pre-image/delete carry the OLD values (tombstone payloads are
+        # null); the delete's LSN is the tombstone's (the change event),
+        # falling back to the old row's if the row was physically
+        # dropped rather than tombstoned
+        change(o_live & ~n_live & newer, DELETE, "_o",
+               F.coalesce(n_lsn, o_lsn)),
+    ]
+    if include_pre_images:
+        candidates.insert(
+            2, change(o_live & n_live & newer, UPDATE_PRE, "_o", o_lsn)
+        )
+    arr = F.filter(F.array(*candidates), lambda x: x.isNotNull())
+    return (
+        j.select(*m_new.key, F.explode(arr).alias("_ch"))
+        .select(
+            *m_new.key,
+            *[F.col(f"_ch.{c}").alias(c) for c in non_key],
+            F.col(f"_ch.{CHANGE_TYPE}").alias(CHANGE_TYPE),
+            F.lit(v).alias(COMMIT_VERSION),
+            F.col(f"_ch.{CHANGE_LSN}").alias(CHANGE_LSN),
+        )
+    )
+
+
+def read_changes(
+    table: LakeTable,
+    from_version: int,
+    to_version: int | None = None,
+    include_pre_images: bool = False,
+) -> DataFrame:
+    """All logical changes committed in versions (from_version,
+    to_version] (to_version defaults to the current version), in the
+    CURRENT logical schema plus (_change_type, _commit_version,
+    _change_lsn)."""
+    to_version = (
+        to_version if to_version is not None else table.current_version()
+    )
+    if to_version < from_version:
+        raise ValueError(f"to_version {to_version} < from_version {from_version}")
+    parts = [
+        d
+        for v in range(from_version + 1, to_version + 1)
+        if (d := _commit_changes(table, v, include_pre_images)) is not None
+    ]
+    if not parts:
+        m = table.manifest(to_version)
+        empty = T.StructType(
+            list(m.schema.struct())
+            + [
+                T.StructField(CHANGE_TYPE, T.StringType(), False),
+                T.StructField(COMMIT_VERSION, T.LongType(), False),
+                T.StructField(CHANGE_LSN, T.LongType(), True),
+            ]
+        )
+        return table.spark.createDataFrame([], empty)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
