@@ -1059,21 +1059,14 @@ FROM documents d JOIN s USING (doc_id)
 """
 
 
-def q_cdc_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Change-data-feed over the lake's version history
-    (lake/changes.py): build the table in two MERGE commits (events
-    split at the half-way LSN; value < 10 events are deletes), then
-    read the second commit's changes — inserts, update pre/post
-    images, deletes, resurrections — classified by version-manifest
-    diff + LSN guard. The oracle recomputes the same feed from first
-    principles in SQL: latest-per-key state at the half vs at the end,
-    full-outer joined and classified. Hash-exact including pre-image
-    values and tombstone LSNs."""
-    from etl_spark.lake.changes import read_changes
-
+def _build_cdf_table(spark: SparkSession, sf_dir: str, tag: str):
+    """Shared fixture for the change-feed queries: lake table keyed on
+    (user_id, event_type) built in two MERGE commits — events split at
+    the half-way LSN, value < 10 events are deletes. Returns
+    (table, v_half, v_final)."""
     ev = _t(spark, sf_dir, "events")
     n_half = ev.count() // 2
-    root = _tmp("cdf")
+    root = _tmp(tag)
     table = LakeTable.create(
         spark,
         root,
@@ -1097,6 +1090,22 @@ def q_cdc_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         table, resolve_max_lsn(src.filter(F.col("lsn") >= n_half), key),
         batch_key="b1",
     )
+    return table, v0, v1
+
+
+def q_cdc_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed over the lake's version history
+    (lake/changes.py): build the table in two MERGE commits (events
+    split at the half-way LSN; value < 10 events are deletes), then
+    read the second commit's changes — inserts, update pre/post
+    images, deletes, resurrections — classified by version-manifest
+    diff + LSN guard. The oracle recomputes the same feed from first
+    principles in SQL: latest-per-key state at the half vs at the end,
+    full-outer joined and classified. Hash-exact including pre-image
+    values and tombstone LSNs."""
+    from etl_spark.lake.changes import read_changes
+
+    table, v0, v1 = _build_cdf_table(spark, sf_dir, "cdf")
     ch = read_changes(table, v0, v1, include_pre_images=True)
     return ch.select(
         "user_id",
@@ -1141,6 +1150,57 @@ FROM j WHERE live1 AND live2 AND l2 > l1
 UNION ALL
 SELECT user_id, event_type, val1, 'delete', l2
 FROM j WHERE live1 AND NOT live2 AND l2 > l1
+"""
+
+
+def q_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance from the change feed:
+    the per-event_type aggregate of the v_half snapshot, plus the
+    SIGNED deltas of the (v_half, v_final] feed
+    (lake/changes.py `signed_deltas`: insert/post-image +1, delete/
+    pre-image -1), must equal the direct aggregate of the v_final
+    snapshot — which is exactly what the oracle computes from first
+    principles. Integer cents keep the additivity exact. This is the
+    downstream pattern the feed exists for: maintaining a derived
+    table from deltas without rescanning the base."""
+    from etl_spark.lake.changes import read_changes, signed_deltas
+
+    table, v0, v1 = _build_cdf_table(spark, sf_dir, "icagg")
+    cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
+    base = table.read(version=v0).groupBy("event_type").agg(
+        F.count("*").alias("n_live"),
+        F.sum(cents("value")).alias("sum_cents"),
+    )
+    d = signed_deltas(
+        read_changes(table, v0, v1, include_pre_images=True)
+    )
+    deltas = d.groupBy("event_type").agg(
+        F.sum("_sign").cast("long").alias("n_live"),
+        F.sum(F.col("_sign") * cents("value")).alias("sum_cents"),
+    )
+    return (
+        base.unionByName(deltas)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_live").cast("long").alias("n_live"),
+            F.sum("sum_cents").cast("long").alias("sum_cents"),
+        )
+        .filter(F.col("n_live") > 0)
+    )
+
+
+SQL_CDC_INCREMENTAL_AGG = """
+WITH s2 AS (SELECT user_id, event_type, value,
+                   value >= 10.0 AS live
+            FROM (SELECT e.*, row_number() OVER (PARTITION BY user_id, event_type
+                                                 ORDER BY event_id DESC) AS rn
+                  FROM events e)
+            WHERE rn = 1)
+SELECT event_type,
+       count(*) AS n_live,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM s2 WHERE live
+GROUP BY event_type
 """
 
 
@@ -1336,6 +1396,7 @@ QUERIES = {
     "mm_frame_sample": q_mm_frame_sample,
     "asof_click_error": q_asof_click_error,
     "cdc_changes_feed": q_cdc_changes_feed,
+    "cdc_incremental_agg": q_cdc_incremental_agg,
     "cdc_events_replay": q_cdc_events_replay,
     "cdc_transcripts_replay": q_cdc_transcripts_replay,
 }
@@ -1378,6 +1439,7 @@ ORACLES = {
     "mm_frame_sample": SQL_MM_FRAME_SAMPLE,
     "asof_click_error": SQL_ASOF_CLICK_ERROR,
     "cdc_changes_feed": SQL_CDC_CHANGES_FEED,
+    "cdc_incremental_agg": SQL_CDC_INCREMENTAL_AGG,
     "cdc_events_replay": SQL_CDC_EVENTS_REPLAY,
     # dedup_simhash, mm_decode_features, cdc_transcripts_replay:
     # intentionally no SQL oracle (non-SQL-expressible; rows-only)

@@ -148,6 +148,39 @@ def _commit_changes(
     )
 
 
+def signed_deltas(changes: DataFrame, validate: bool = True) -> DataFrame:
+    """Turn a change feed into signed delta rows for incremental
+    (materialized-view) maintenance of ADDITIVE aggregates: inserts
+    and update post-images get `_sign` = +1, deletes and update
+    pre-images get `_sign` = -1. Any downstream
+    `groupBy(dims).agg(sum(_sign), sum(_sign * metric))` applied on
+    top of a base snapshot's aggregate then yields exactly the
+    aggregate of the new snapshot — without rescanning the table.
+    Requires the feed to have been read with
+    `include_pre_images=True` (updates must subtract their old
+    contribution); `validate=True` checks that with one small
+    distinct-types aggregation and raises rather than corrupting
+    counters — pass validate=False when the feed provenance is known
+    to skip the extra scan.
+    """
+    if validate:
+        types = [
+            r[0] for r in changes.select(CHANGE_TYPE).distinct().collect()
+        ]
+        if UPDATE_POST in types and UPDATE_PRE not in types:
+            raise ValueError(
+                "feed has update post-images but no pre-images; read "
+                "the feed with include_pre_images=True for delta "
+                "maintenance"
+            )
+    return changes.withColumn(
+        "_sign",
+        F.when(
+            F.col(CHANGE_TYPE).isin(INSERT, UPDATE_POST), F.lit(1)
+        ).otherwise(F.lit(-1)),
+    )
+
+
 def read_changes(
     table: LakeTable,
     from_version: int,

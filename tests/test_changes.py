@@ -126,3 +126,44 @@ def test_bad_version_range(spark, tmp_path):
     t = _mk(spark, tmp_path)
     with pytest.raises(ValueError):
         read_changes(t, 5, 1)
+
+
+def test_signed_deltas_maintenance(spark, tmp_path):
+    """base agg + signed feed deltas == direct agg of the new state."""
+    from etl_spark.lake.changes import signed_deltas
+
+    t = _mk(spark, tmp_path)
+    v0 = merge_into(
+        t,
+        _src(spark, [
+            dict(conv_id="a", turn_idx=0, text="x", lsn=1, op="U"),
+            dict(conv_id="a", turn_idx=1, text="y", lsn=2, op="U"),
+            dict(conv_id="b", turn_idx=0, text="z", lsn=3, op="U"),
+        ]),
+        batch_key="b0",
+    )
+    v1 = merge_into(
+        t,
+        _src(spark, [
+            dict(conv_id="a", turn_idx=0, text="xx", lsn=10, op="U"),
+            dict(conv_id="b", turn_idx=0, text=None, lsn=11, op="D"),
+            dict(conv_id="c", turn_idx=0, text="w", lsn=12, op="U"),
+        ]),
+        batch_key="b1",
+    )
+    base = {
+        r["conv_id"]: r["n"]
+        for r in t.read(version=v0).groupBy("conv_id").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    d = signed_deltas(read_changes(t, v0, v1, include_pre_images=True))
+    for r in d.groupBy("conv_id").agg(F.sum("_sign").alias("dn")).collect():
+        base[r["conv_id"]] = base.get(r["conv_id"], 0) + r["dn"]
+    direct = {
+        r["conv_id"]: r["count"]
+        for r in t.read(version=v1).groupBy("conv_id").count().collect()
+    }
+    assert {k: v for k, v in base.items() if v > 0} == direct
+    # feeds without pre-images are rejected for delta maintenance
+    with pytest.raises(ValueError):
+        signed_deltas(read_changes(t, v0, v1, include_pre_images=False))
