@@ -571,6 +571,74 @@ class LakeTable:
         return self._evolve(mut)
 
     # -------------------------------------------------------- maintain
+    def expire_snapshots(
+        self, keep_last: int = 2, vacuum: bool = True
+    ) -> dict:
+        """Retention maintenance (Iceberg `expire_snapshots` +
+        `remove_orphan_files` analog): drop manifests older than the
+        `keep_last` most recent versions and, with `vacuum`, physically
+        delete every data file no longer referenced by a surviving
+        manifest — including crash-orphaned staging directories that no
+        manifest ever referenced (a crash between staging and the
+        O_EXCL manifest create leaves garbage, never corruption; this
+        is where the garbage gets collected).
+
+        Safety: files under commit dirs numbered ABOVE the current
+        version are never touched — a concurrent writer may be staging
+        its next commit there. Run from the writer's maintenance window
+        (like `compact`); time travel and `read_changes` windows are
+        limited to the kept versions afterwards.
+
+        Returns {"manifests_removed", "files_removed",
+        "bytes_removed", "kept_from_version"}.
+        """
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        cur = self.current_version()
+        cutoff = max(0, cur - keep_last + 1)  # keep [cutoff .. cur]
+        stats = {
+            "manifests_removed": 0,
+            "files_removed": 0,
+            "bytes_removed": 0,
+            "kept_from_version": cutoff,
+        }
+        for name in sorted(os.listdir(self._meta_dir)):
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
+            if int(name[1:-5]) < cutoff:
+                os.remove(os.path.join(self._meta_dir, name))
+                stats["manifests_removed"] += 1
+        if not vacuum:
+            return stats
+
+        referenced: set[str] = set()
+        for v in range(cutoff, cur + 1):
+            path = self._manifest_path(v)
+            if os.path.exists(path):
+                referenced |= {f.path for f in self.manifest(v).files}
+        data_dir = os.path.join(self.root, "data")
+        for cdir in sorted(os.listdir(data_dir)):
+            # commit dirs are data/c<version>-<token>; anything staged
+            # for a FUTURE version may be a concurrent in-flight commit
+            try:
+                cver = int(cdir[1:].split("-", 1)[0])
+            except ValueError:
+                continue
+            if cver > cur:
+                continue
+            cpath = os.path.join(data_dir, cdir)
+            for root, _dirs, files in os.walk(cpath, topdown=False):
+                for fn in files:
+                    full = os.path.join(root, fn)
+                    rel = os.path.relpath(full, self.root)
+                    if rel not in referenced:
+                        stats["bytes_removed"] += os.path.getsize(full)
+                        os.remove(full)
+                        stats["files_removed"] += 1
+                if not os.listdir(root):
+                    os.rmdir(root)
+        return stats
+
     def compact(self, max_files_per_bucket: int = 1) -> int:
         """Rewrite buckets whose live-file count exceeds the bound.
         At 10^10-row scale this runs as a periodic maintenance job."""

@@ -114,3 +114,55 @@ def test_compact_bounds_files(spark, tmp_path):
     for f in t.manifest(v).files:
         per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
     assert all(n == 1 for n in per_bucket.values())
+
+
+def test_expire_snapshots_and_vacuum(spark, tmp_path):
+    """Retention drops old manifests and unreferenced files (incl.
+    crash orphans), never touches kept versions or possible in-flight
+    staging, and leaves the current state bit-identical."""
+    import os
+
+    from etl_spark.lake.merge import merge_into
+
+    t = make_table(spark, tmp_path)
+    seed(spark, t)  # v1
+    for i, lsn in enumerate([100, 200, 300]):  # v2..v4: CoW rewrites
+        src = spark.createDataFrame(
+            pd.DataFrame(dict(conv_id=["c0"], turn_idx=[0],
+                              text=[f"v{i}"], ts=[lsn], lsn=[lsn], op=["U"]))
+        ).withColumn("turn_idx", F.col("turn_idx").cast("int"))
+        merge_into(t, src, batch_key=f"b{i}")
+    cur = t.current_version()
+    before = {
+        (r["conv_id"], r["turn_idx"]): r["text"] for r in t.read().collect()
+    }
+    # crash orphans: a stale staging dir (<= cur, no manifest refs it)
+    # must be vacuumed; a FUTURE-version dir (possible in-flight
+    # commit) must survive
+    data = os.path.join(t.root, "data")
+    stale = os.path.join(data, f"c{cur:010d}-deadbeef")
+    future = os.path.join(data, f"c{cur + 1:010d}-cafebabe")
+    for d in (stale, future):
+        os.makedirs(d)
+        with open(os.path.join(d, "part-junk.parquet"), "w") as fh:
+            fh.write("junk")
+
+    stats = t.expire_snapshots(keep_last=2)
+    assert stats["manifests_removed"] > 0 and stats["files_removed"] > 0
+    # kept versions still read, expired ones do not
+    after = {
+        (r["conv_id"], r["turn_idx"]): r["text"] for r in t.read().collect()
+    }
+    assert after == before
+    assert t.read(version=cur - 1).count() > 0
+    with pytest.raises(FileNotFoundError):
+        t.manifest(cur - 2)
+    assert not os.path.exists(stale)
+    assert os.path.exists(os.path.join(future, "part-junk.parquet"))
+    # every file referenced by kept manifests still exists
+    for v in (cur - 1, cur):
+        for f in t.manifest(v).files:
+            assert os.path.exists(os.path.join(t.root, f.path)), f.path
+    # idempotent re-run removes nothing further
+    stats2 = t.expire_snapshots(keep_last=2)
+    assert stats2["manifests_removed"] == 0 and stats2["files_removed"] == 0
