@@ -9,9 +9,18 @@ the old snapshot until the manifest swap). The ingest query never
 blocks — compaction and appends race only at the manifest O_EXCL
 create, and the loser simply retries on the next cycle.
 
+With --expire-keep-last N the same maintenance window also runs
+snapshot retention (Iceberg `expire_snapshots` + `remove_orphan_files`
+analog): manifests older than the N most recent versions are dropped
+and data files no longer referenced by any surviving snapshot —
+including crash-orphaned staging directories — are deleted. Running it
+after compaction reclaims the pre-compaction file generations in the
+same pass.
+
 Usage:
     python -m etl_spark.jobs.compact --table-root /path/to/tbl \
-        [--max-files-per-bucket 4] [--parallelism 8]
+        [--max-files-per-bucket 4] [--parallelism 8] \
+        [--expire-keep-last 3] [--no-vacuum]
 """
 
 from __future__ import annotations
@@ -25,6 +34,16 @@ def main() -> None:
     p.add_argument("--table-root", required=True)
     p.add_argument("--max-files-per-bucket", type=int, default=4)
     p.add_argument("--parallelism", type=int, default=8)
+    p.add_argument(
+        "--expire-keep-last", type=int, default=0,
+        help="after compacting, keep only the N newest snapshots "
+        "(0 = no retention pass)",
+    )
+    p.add_argument(
+        "--no-vacuum", action="store_true",
+        help="with --expire-keep-last: drop old manifests but keep "
+        "unreferenced data files on disk",
+    )
     args = p.parse_args()
 
     from etl_spark.lake.table import LakeTable
@@ -39,19 +58,20 @@ def main() -> None:
     files_before = len(before.files)
     version = table.compact(args.max_files_per_bucket)
     after = table.manifest()
-    print(
-        json.dumps(
-            {
-                "job": "lake_compact",
-                "table_root": args.table_root,
-                "version_before": before.version,
-                "version_after": version,
-                "files_before": files_before,
-                "files_after": len(after.files),
-                "compacted": version != before.version,
-            }
+    out = {
+        "job": "lake_compact",
+        "table_root": args.table_root,
+        "version_before": before.version,
+        "version_after": version,
+        "files_before": files_before,
+        "files_after": len(after.files),
+        "compacted": version != before.version,
+    }
+    if args.expire_keep_last > 0:
+        out["expire"] = table.expire_snapshots(
+            keep_last=args.expire_keep_last, vacuum=not args.no_vacuum
         )
-    )
+    print(json.dumps(out))
     spark.stop()
 
 
