@@ -39,6 +39,10 @@ class EngineConfig:
     # (main-thread, serialized with merges; independent of async
     # lineage — compaction commits table versions, lineage does not)
     compact_every_batches: int = 1
+    # dead-letter directory for poison events (malformed payload /
+    # unknown schema_version). None = off (zero cost); see
+    # engine/quarantine.py for the exactly-once + accounting contract.
+    quarantine_dir: str | None = None
     # overlap batch N's lineage rollup with batch N+1's source read
     # (depth-1 commit pipelining; crash-safe — in-batch heal plus
     # startup reconciliation, see engine/apply.py reconcile_lineage).

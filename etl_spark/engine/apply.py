@@ -353,7 +353,31 @@ def apply_batch(
 
     # schema versions possibly present: version is monotone in LSN, so
     # the footer min/max of schema_version bounds the branch set
-    versions = list(range(stats_src["vmin"], stats_src["vmax"] + 1))
+    vmin, vmax = stats_src["vmin"], stats_src["vmax"]
+
+    # 1.5 dead-letter quarantine (config-gated, default off): divert
+    #     malformed-payload / unknown-version events to the DLQ before
+    #     they can become all-NULL upserts, and clamp the branch
+    #     bounds to decodable versions BEFORE materializing the list
+    #     (a poison schema_version=2^62 must not inflate the union or
+    #     the driver). Idempotent on epoch replay (overwrite per
+    #     batch_id) — see engine/quarantine.py.
+    n_quarantined = 0
+    if cfg.quarantine_dir:
+        from etl_spark.engine.quarantine import max_known_version, quarantine_split
+
+        batch_df, n_quarantined = quarantine_split(
+            batch_df, cfg.quarantine_dir, ops, batch_id, spec=spec
+        )
+        vmin, vmax = max(vmin, BASE_VERSION), min(vmax, max_known_version(ops))
+        t = _tlog(batch_id, "quarantine", t)
+        if n_quarantined >= stats_src["events_in"] or vmin > vmax:
+            # whole batch was poison: nothing to apply. The DLQ write
+            # above is the batch's durable record; the LSN range it
+            # covers is reconcilable from the manifest's quarantined
+            # counts.
+            return
+    versions = list(range(vmin, vmax + 1))
 
     # 2. ensure the narrow parse/normalize stages have enough map-side
     #    parallelism. A micro-batch of >= `width` source files already
@@ -415,6 +439,7 @@ def apply_batch(
         "min_lsn": stats_src["min_lsn"],
         "max_lsn": max_lsn,
         "events_in": stats_src["events_in"],
+        "events_quarantined": n_quarantined,
     }
 
     # 6. MERGE into the lake (bucket-pruned CoW / O(batch) MoR append;

@@ -107,6 +107,9 @@ def write_batch_manifest(
             "batch_min_lsn": pa.array([stats["min_lsn"]] * n, pa.int64()),
             "batch_max_lsn": pa.array([stats["max_lsn"]] * n, pa.int64()),
             "batch_events_in": pa.array([stats["events_in"]] * n, pa.int64()),
+            "batch_events_quarantined": pa.array(
+                [stats.get("events_quarantined", 0)] * n, pa.int64()
+            ),
             "table_version": pa.array([table_version] * n, pa.int64()),
             "committed_at_us": pa.array([int(time.time() * 1e6)] * n, pa.int64()),
         }
@@ -167,6 +170,10 @@ def check_invariants(
     has_new = "events_new" in df.columns
     if has_new:
         agg.append(F.sum("events_new").alias("events_new"))
+    has_q = "batch_events_quarantined" in df.columns
+    if has_q:
+        # constant per batch (written once per bucket row) -> first()
+        agg.append(F.first("batch_events_quarantined").alias("quarantined"))
     per_batch = df.groupBy("batch_id").agg(*agg).orderBy("lo", "batch_id").collect()
     prev_hi = None
     overlapped = []
@@ -182,9 +189,17 @@ def check_invariants(
             overlapped.append(int(r["batch_id"]))
         prev_hi = r["hi"] if prev_hi is None else max(prev_hi, r["hi"])
         total_distinct += (r["events_new"] if use_new else r["events_distinct"]) or 0
-    return {
+    out = {
         "batches": len(per_batch),
         "events_distinct_total": int(total_distinct),
         "max_lsn": int(prev_hi) if per_batch else None,
         "overlapping_batches": overlapped,
     }
+    if has_q:
+        # poison events diverted to the dead-letter dir: with a dense
+        # log, events_distinct_total + events_quarantined_total
+        # accounts for every emitted LSN exactly once
+        out["events_quarantined_total"] = sum(
+            int(r["quarantined"] or 0) for r in per_batch
+        )
+    return out

@@ -1,0 +1,119 @@
+"""Dead-letter quarantine: poison events divert to the DLQ instead of
+corrupting the table; lineage accounts for them exactly.
+
+The reference applies whatever the payload decodes to — a truncated
+JSON frame becomes an all-NULL row (/root/reference/src/pipeline/core/
+spark.py:28-189, no validity check). Here the engine screens each
+micro-batch (engine/quarantine.py) and the final state must equal the
+oracle replay over only the valid events.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from etl_spark.engine import lineage
+from etl_spark.engine.quarantine import read_quarantine
+from etl_spark.gen.binlog import (
+    GenConfig,
+    gen_base,
+    gen_binlog,
+    gen_schema_ops,
+    write_segments,
+)
+from etl_spark.gen.oracle import replay_oracle
+from etl_spark.pipeline import bootstrap, final_state, replay
+from tests.test_streaming import make_cfg
+from tests.util import assert_frames_equal
+
+
+def _poison(binlog: pd.DataFrame) -> tuple[pd.DataFrame, set[int], set[int]]:
+    """Corrupt a deterministic subset of UPDATE events (updates only:
+    dropping an I/D would change which later events are upserts vs
+    updates and muddy the oracle). Returns (corrupted copy,
+    malformed-payload LSNs, unknown-version LSNs)."""
+    out = binlog.copy()
+    upd = out.index[out["op"] == "U"].tolist()
+    bad_payload = upd[2::9][:6]
+    bad_version = upd[5::9][:3]
+    out.loc[bad_payload, "payload"] = '{"role": "user", truncated'
+    out.loc[bad_version, "schema_version"] = 7777
+    return (
+        out,
+        set(out.loc[bad_payload, "lsn"].astype(int)),
+        set(out.loc[bad_version, "lsn"].astype(int)),
+    )
+
+
+def test_quarantine_diverts_poison_events(spark, tmp_path):
+    g = GenConfig(
+        n_convs=6, n_events=150, dup_rate=0.0, disorder_window=5,
+        segment_size=30, schema_op_fracs=(0.2, 0.5, 0.8),
+    )
+    base, ops = gen_base(g), gen_schema_ops(g)
+    binlog = gen_binlog(g, base, ops)
+    poisoned, bad_payload, bad_version = _poison(binlog)
+    bad_lsns = bad_payload | bad_version
+    assert len(bad_lsns) == 9
+    seg_dir = str(tmp_path / "segments")
+    write_segments(poisoned, seg_dir)
+
+    qdir = str(tmp_path / "dlq")
+    cfg = make_cfg(tmp_path, quarantine_dir=qdir)
+    bootstrap(spark, cfg, base)
+    replay(spark, cfg, seg_dir, ops)
+
+    # final state == oracle over only the valid events
+    valid = binlog[~binlog["lsn"].isin(bad_lsns)].reset_index(drop=True)
+    assert_frames_equal(final_state(spark, cfg), replay_oracle(base, valid, ops))
+
+    # the DLQ holds exactly the poison events, with the right reasons
+    dlq = read_quarantine(spark, qdir).toPandas()
+    assert set(dlq["lsn"].astype(int)) == bad_lsns
+    by_reason = dlq.groupby("q_reason")["lsn"].agg(set).to_dict()
+    assert set(by_reason["malformed_payload"]) == bad_payload
+    assert set(by_reason["unknown_schema_version"]) == bad_version
+
+    # exact accounting: every emitted LSN is either applied or
+    # quarantined, and the manifest records the quarantined counts
+    inv = lineage.check_invariants(spark, cfg.manifest_dir)
+    assert inv["events_quarantined_total"] == len(bad_lsns)
+    assert inv["events_distinct_total"] == g.n_events - len(bad_lsns)
+    assert inv["max_lsn"] == g.n_events
+
+
+def test_quarantine_idempotent_on_replayed_batch(spark, tmp_path):
+    """Crash-replaying a screened epoch rewrites the identical DLQ
+    files (overwrite per batch_id) and re-applies nothing."""
+    from etl_spark.engine.apply import apply_batch
+
+    g = GenConfig(
+        n_convs=6, n_events=90, dup_rate=0.0, disorder_window=5,
+        segment_size=30, schema_op_fracs=(0.2, 0.5, 0.8),
+    )
+    base, ops = gen_base(g), gen_schema_ops(g)
+    binlog = gen_binlog(g, base, ops)
+    poisoned, bad_payload, bad_version = _poison(binlog)
+    seg_dir = str(tmp_path / "segments")
+    write_segments(poisoned, seg_dir)
+
+    qdir = str(tmp_path / "dlq")
+    cfg = make_cfg(tmp_path, quarantine_dir=qdir)
+    bootstrap(spark, cfg, base)
+    replay(spark, cfg, seg_dir, ops)
+    state1 = final_state(spark, cfg).toPandas()
+    dlq1 = read_quarantine(spark, qdir).toPandas().sort_values("lsn")
+
+    # re-apply batch 0's frame as a crash replay of the same batch_id
+    seg0 = sorted(
+        str(p) for p in (tmp_path / "segments").glob("*.parquet")
+    )[0]
+    frame = spark.read.parquet(seg0)
+    apply_batch(spark, cfg, ops, frame, 0, footer_stats=False)
+
+    state2 = final_state(spark, cfg).toPandas()
+    dlq2 = read_quarantine(spark, qdir).toPandas().sort_values("lsn")
+    pd.testing.assert_frame_equal(state2, state1)
+    pd.testing.assert_frame_equal(
+        dlq1.reset_index(drop=True), dlq2.reset_index(drop=True)
+    )
