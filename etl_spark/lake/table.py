@@ -336,6 +336,36 @@ class LakeTable:
             df = df.drop(SYS_LSN, SYS_DELETED)
         return df
 
+    def lookup(self, values: list, version: int | None = None) -> DataFrame:
+        """Point/point-set lookup with manifest bucket pruning
+        (Iceberg's bucket-transform partition pruning analog): scan
+        only the buckets the requested `bucket_by` values hash into,
+        then filter exactly. At 10^10 rows this reads
+        |distinct buckets| / num_buckets of the table's files instead
+        of all of them — the difference between a point query and a
+        full scan.
+
+        The bucket ids are computed with the SAME JVM expression the
+        writer used (`bucket_expr`, xxhash64 — not re-implemented
+        driver-side where a hash mismatch would silently return empty
+        results), via one job over |values| literal rows transferring
+        <= num_buckets ints back."""
+        m = self.manifest(version)
+        if not values:
+            return self.read(buckets=[], version=version)
+        fld = next(f for f in m.schema.fields if f.name == m.bucket_by)
+        lit_df = self.spark.createDataFrame(
+            [(v,) for v in values],
+            T.StructType([T.StructField(m.bucket_by, spark_type(fld.type))]),
+        )
+        buckets = [
+            r[0]
+            for r in lit_df.select(self.bucket_expr(m).alias("b")).distinct().collect()
+        ]
+        return self.read(buckets=buckets, version=version).filter(
+            F.col(m.bucket_by).isin(values)
+        )
+
     def read_raw(self, buckets: list[int] | None = None, version: int | None = None) -> DataFrame:
         """Scan including tombstones and system columns (merge input)."""
         m = self.manifest(version)

@@ -166,3 +166,25 @@ def test_expire_snapshots_and_vacuum(spark, tmp_path):
     # idempotent re-run removes nothing further
     stats2 = t.expire_snapshots(keep_last=2)
     assert stats2["manifests_removed"] == 0 and stats2["files_removed"] == 0
+
+
+def test_lookup_prunes_buckets(spark, tmp_path):
+    """Key lookup returns exactly the filtered rows while scanning
+    only the buckets those keys hash into."""
+    t = make_table(spark, tmp_path)
+    seed(spark, t)  # 5 conv_ids over 8 buckets
+
+    full = t.read()
+    want = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in full.filter(F.col("conv_id").isin(["c0", "c3"])).collect()
+    )
+    got_df = t.lookup(["c0", "c3"])
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"]) for r in got_df.collect()
+    )
+    assert got == want and len(got) > 0
+    # pruning is real: the lookup plan reads strictly fewer files
+    assert 0 < len(got_df.inputFiles()) < len(full.inputFiles())
+    # empty value set short-circuits to an empty frame
+    assert t.lookup([]).count() == 0
