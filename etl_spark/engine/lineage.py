@@ -21,7 +21,7 @@ from __future__ import annotations
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from etl_spark.lake.table import BUCKET_COL, LakeTable
 
@@ -203,3 +203,48 @@ def check_invariants(
             int(r["quarantined"] or 0) for r in per_batch
         )
     return out
+
+
+def batch_metrics(spark: SparkSession, manifest_dir: str | list[str]) -> DataFrame:
+    """Per-batch operational metrics derived from the lineage ledger —
+    the observability surface an operator watches during a 10^10-event
+    replay, with zero instrumentation on the hot path (everything here
+    is already in the manifests the engine writes anyway).
+
+    One row per batch: event counts (raw / distinct / new-this-batch /
+    quarantined), LSN range, resolved keys, touched buckets, the
+    commit-to-commit gap to the previous batch (`gap_us` — includes
+    read+parse+merge+rollup, i.e. end-to-end batch latency at steady
+    state), and `events_per_sec` over that gap. Aggregation is
+    O(batches x buckets) manifest rows — independent of table size."""
+    df = read_manifest(spark, manifest_dir)
+    # columns added over the format's life; older manifests lack them
+    opt = lambda c: (  # noqa: E731
+        F.sum(c) if c in df.columns else F.sum(F.lit(None).cast("long"))
+    )
+    per_batch = df.groupBy("batch_id").agg(
+        F.first("batch_min_lsn").alias("min_lsn"),
+        F.first("batch_max_lsn").alias("max_lsn"),
+        F.first("batch_events_in").alias("events_in"),
+        F.sum("events_distinct").alias("events_distinct"),
+        opt("events_new").alias("events_new"),
+        (
+            F.first("batch_events_quarantined")
+            if "batch_events_quarantined" in df.columns
+            else F.max(F.lit(0)).cast("long")
+        ).alias("events_quarantined"),
+        F.sum("row_count").alias("keys_resolved"),
+        F.count("*").alias("buckets_touched"),
+        F.first("table_version").alias("table_version"),
+        F.first("committed_at_us").alias("committed_at_us"),
+    )
+    w = Window.orderBy("committed_at_us")
+    gap = F.col("committed_at_us") - F.lag("committed_at_us").over(w)
+    return (
+        per_batch.withColumn("gap_us", gap)
+        .withColumn(
+            "events_per_sec",
+            F.round(F.col("events_in") / (F.col("gap_us") / 1e6), 1),
+        )
+        .orderBy("committed_at_us")
+    )

@@ -316,3 +316,27 @@ def test_cow_mode_streaming_replay(spark, tmp_path):
     for f in m.files:
         per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
     assert max(per_bucket.values()) == 1, per_bucket
+
+
+def test_batch_metrics_view(spark, tmp_path):
+    """The lineage-derived metrics view: one row per batch, exact
+    event accounting, monotone commit times, sane derived rates."""
+    g, base, ops, binlog, seg_dir, paths = gen_all(tmp_path)
+    cfg = make_cfg(tmp_path)
+    bootstrap(spark, cfg, base)
+    replay(spark, cfg, seg_dir, ops)
+
+    m = lineage.batch_metrics(spark, cfg.manifest_dir).toPandas()
+    assert len(m) == len(paths)  # mft=1 -> one batch per segment
+    assert int(m["events_in"].sum()) >= g.n_events  # raw incl. dups
+    assert int(m["events_new"].sum()) == g.n_events  # dup-collapsed
+    assert int(m["events_quarantined"].sum()) == 0
+    # commit order is monotone and gaps/rates are defined after row 1
+    assert m["committed_at_us"].is_monotonic_increasing
+    assert m["gap_us"].iloc[0] != m["gap_us"].iloc[0]  # NaN for first
+    assert (m["gap_us"].iloc[1:] > 0).all()
+    assert (m["events_per_sec"].iloc[1:] > 0).all()
+    # LSN ranges cover the log in order (mft=1 preserves segment order)
+    assert int(m["min_lsn"].iloc[0]) == 1
+    assert int(m["max_lsn"].iloc[-1]) == g.n_events
+    assert (m["buckets_touched"] <= cfg.num_buckets).all()
