@@ -45,7 +45,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from etl_spark.lake.table import SYS_DELETED, SYS_LSN, LakeTable
+from etl_spark.lake.table import SYS_DELETED, SYS_LSN, LakeTable, spark_type
 
 CHANGE_TYPE = "_change_type"
 COMMIT_VERSION = "_commit_version"
@@ -189,15 +189,42 @@ def read_changes(
 ) -> DataFrame:
     """All logical changes committed in versions (from_version,
     to_version] (to_version defaults to the current version), in the
-    CURRENT logical schema plus (_change_type, _commit_version,
-    _change_lsn)."""
+    to_version logical schema plus (_change_type, _commit_version,
+    _change_lsn).
+
+    A window may span schema evolution: each commit's changes are
+    emitted in that commit's own schema, then aligned onto the
+    to_version schema BY FIELD ID before the union — rename-safe
+    (a renamed column's history appears under its current name, not as
+    two half-null columns) and widen-casting, with NULL for columns
+    that did not yet exist. The same field-ID mapping the table's
+    read path uses for old data files (`_read_files`)."""
     to_version = (
         to_version if to_version is not None else table.current_version()
     )
     if to_version < from_version:
         raise ValueError(f"to_version {to_version} < from_version {from_version}")
+    target = table.manifest(to_version).schema
+
+    def align(df: DataFrame, v: int) -> DataFrame:
+        ws = table.manifest(v).schema
+        if ws.to_json() == target.to_json():
+            return df
+        written = ws.by_id()
+        cols = []
+        for fld in target.fields:
+            w = written.get(fld.id)
+            if w is None:  # column added after commit v
+                cols.append(F.lit(None).cast(spark_type(fld.type)).alias(fld.name))
+            else:
+                c = F.col(w.name)
+                if w.type != fld.type:  # widened since commit v
+                    c = c.cast(spark_type(fld.type))
+                cols.append(c.alias(fld.name))
+        return df.select(*cols, CHANGE_TYPE, COMMIT_VERSION, CHANGE_LSN)
+
     parts = [
-        d
+        align(d, v)
         for v in range(from_version + 1, to_version + 1)
         if (d := _commit_changes(table, v, include_pre_images)) is not None
     ]
