@@ -821,6 +821,48 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_pairs(sigs, max_hamming=3, bands=4)
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster canonicalization: connected components over
+    the exact n-gram Jaccard near-dup pair graph (iterative min-label
+    propagation — operators/dedup.py connected_components), emitting
+    (doc_id, component_id = min reachable doc_id). The oracle
+    recomputes the transitive closure with a recursive CTE over the
+    same pair set, so a hash match proves the distributed iteration
+    reached the exact fixpoint."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    return DD.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component_id"
+    )
+
+
+SQL_DEDUP_COMPONENTS = _SQL_SHINGLES.replace(
+    "WITH toks", "WITH RECURSIVE toks", 1
+) + """,
+shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.id < b.id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b
+  FROM shared
+  JOIN stats sa ON sa.id = id_a
+  JOIN stats sb ON sb.id = id_b
+  WHERE shared * 100 >= 80 * (sa.n_sh + sb.n_sh - shared)),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs),
+reach(id, comp) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
+SELECT id AS doc_id, min(comp) AS component_id
+FROM reach GROUP BY id
+"""
+
+
 # =====================================================================
 # Similarity search (training-data pipeline)
 # =====================================================================
@@ -1385,6 +1427,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_components": q_dedup_components,
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_lsh_ann_topk": q_sim_lsh_ann_topk,
     "sim_ivf_topk": q_sim_ivf_topk,
@@ -1429,6 +1472,7 @@ ORACLES = {
     "dedup_exact_docs": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
+    "dedup_components": SQL_DEDUP_COMPONENTS,
     "sim_cosine_topk": SQL_SIM_COSINE_TOPK,
     "sim_lsh_ann_topk": SQL_SIM_LSH_ANN,
     "sim_ivf_topk": SQL_SIM_IVF_TOPK,

@@ -366,3 +366,28 @@ def test_asof_join_plan_has_no_join(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_connected_components_chain_and_merge(spark):
+    """Min-label propagation reaches the exact fixpoint on shapes that
+    need multiple rounds: a long chain (label must travel the full
+    diameter), two clusters merged by a bridge edge, and an untouched
+    separate pair."""
+    # chain 10-11-...-15; triangle {1,2,3} bridged to {7,8}; pair (20,21)
+    edges = (
+        [(i, i + 1) for i in range(10, 15)]
+        + [(1, 2), (2, 3), (1, 3), (3, 7), (7, 8)]
+        + [(20, 21)]
+    )
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        (r["id"], r["component_id"])
+        for r in DD.connected_components(pairs).collect()
+    }
+    want = (
+        {(i, 10) for i in range(10, 16)}
+        | {(i, 1) for i in (1, 2, 3, 7, 8)}
+        | {(20, 20), (21, 20)}
+    )
+    assert got == want
+    DD.release_caches()
