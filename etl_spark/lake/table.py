@@ -601,6 +601,43 @@ class LakeTable:
         return self._evolve(mut)
 
     # -------------------------------------------------------- maintain
+    def rollback(self, version: int) -> int:
+        """Restore the table to snapshot `version` as a NEW commit
+        (Iceberg `rollback_to_snapshot` analog). Metadata-only: the
+        new manifest re-points to the old snapshot's exact file list,
+        schema history, and committed-batch ledger — no data moves,
+        and the undone versions stay time-travel-readable until
+        `expire_snapshots` reclaims them.
+
+        Restoring the LEDGER is the reprocessing contract after a bad
+        deploy: batches committed up to `version` stay no-ops, while
+        the undone batches' keys are forgotten — re-running the replay
+        over corrected source segments (fresh checkpoint) re-applies
+        exactly the undone span. Note the change feed stays silent
+        across a rollback commit (restored rows carry OLDER LSNs, and
+        the feed's monotonicity guard rightly refuses to present stale
+        values as new changes) — downstream consumers of `lake/export`
+        need a resync from the restored version, same as Delta/Iceberg
+        RESTORE."""
+        cur = self.current_version()
+        if not 0 <= version <= cur:
+            raise ValueError(f"version {version} not in [0, {cur}]")
+        old = self.manifest(version)
+        m2 = Manifest(
+            version=cur + 1,
+            num_buckets=old.num_buckets,
+            key=old.key,
+            bucket_by=old.bucket_by,
+            schema=old.schema,
+            schemas=old.schemas,
+            files=old.files,
+            committed_batches=old.committed_batches,
+            parent=cur,
+            props={**old.props, "rolled_back_to": version},
+        )
+        self._commit_manifest(m2)
+        return m2.version
+
     def expire_snapshots(
         self, keep_last: int = 2, vacuum: bool = True
     ) -> dict:
