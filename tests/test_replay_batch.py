@@ -168,3 +168,45 @@ def test_batch_files_from_compacted_offset_log(tmp_path):
         "file:///seg/b2.parquet",
     ]
     assert _batch_files_from_checkpoint(str(tmp_path / "ckpt"), 5) == []
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(0, 2**16),
+    segment_size=st.integers(7, 60),
+    disorder=st.integers(0, 12),
+    dup_pct=st.integers(0, 30),
+    evolve=st.booleans(),
+)
+def test_replay_equivalence_property(
+    spark, tmp_path_factory, seed, segment_size, disorder, dup_pct, evolve
+):
+    """Property: for ANY generator parameterization — batch boundary
+    placement, intra-segment disorder, duplicate re-emission rate,
+    schema evolution on/off — the engine's final state equals the
+    sequential oracle. Batch boundaries are an artifact of the
+    transport, so the result must be invariant to them; this is the
+    exactly-once + max-LSN-resolution contract quantified over the
+    input space rather than at hand-picked points."""
+    tmp_path = tmp_path_factory.mktemp("prop")
+    g = GenConfig(
+        n_convs=4,
+        n_events=60,
+        dup_rate=dup_pct / 100.0,
+        disorder_window=disorder,
+        segment_size=segment_size,
+        seed=seed,
+        schema_op_fracs=(0.3, 0.7) if evolve else (),
+    )
+    base = gen_base(g)
+    ops = gen_schema_ops(g)
+    binlog = gen_binlog(g, base, ops)
+    cfg = run_engine_batches(spark, tmp_path, g, ops, base, binlog)
+    assert_frames_equal(final_state(spark, cfg), replay_oracle(base, binlog, ops))
