@@ -638,6 +638,55 @@ class LakeTable:
         self._commit_manifest(m2)
         return m2.version
 
+    def rebucket(self, new_num_buckets: int) -> int:
+        """Bucket-layout evolution (Iceberg partition-spec evolution,
+        restricted to the hash-bucket transform this format uses):
+        rewrite the table into a different bucket count and commit the
+        new layout atomically.
+
+        Why it exists at 10^10-row scale: `num_buckets` bounds MERGE
+        parallelism, bucket-pruning selectivity, and per-bucket file
+        sizes — a table that grew 100x since creation needs more
+        buckets or every micro-batch serializes behind oversized
+        bucket rewrites. The rewrite is one full-table job (partition
+        evolution is O(table) in any format that hash-distributes
+        data); readers keep the old layout until the O_EXCL manifest
+        swap, every post-swap reader/writer derives the bucket
+        expression from the CURRENT manifest, and the committed-batch
+        ledger carries over so replayed epochs stay no-ops. Run it
+        from the maintenance window like `compact`. Under
+        merge-on-read the rewrite collapses delta chains but KEEPS
+        tombstone winners, so later-arriving stale events with lower
+        LSNs stay dead across the migration."""
+        if new_num_buckets < 1:
+            raise ValueError("new_num_buckets must be >= 1")
+        m = self.manifest()
+        if new_num_buckets == m.num_buckets:
+            return m.version
+        df = self.read_raw()
+        if self.write_mode(m) == "mor":
+            df = self._resolve_versions(df, m)
+        from dataclasses import replace as dc_replace
+
+        relabeled = dc_replace(m, num_buckets=new_num_buckets)
+        df = df.withColumn(BUCKET_COL, self.bucket_expr(relabeled))
+        new_version = m.version + 1
+        staged = self._stage_dataframe(df, m, new_version)
+        m2 = Manifest(
+            version=new_version,
+            num_buckets=new_num_buckets,
+            key=m.key,
+            bucket_by=m.bucket_by,
+            schema=m.schema,
+            schemas=m.schemas,
+            files=staged,
+            committed_batches=m.committed_batches,
+            parent=m.version,
+            props={**m.props, "rebucketed_from": m.num_buckets},
+        )
+        self._commit_manifest(m2)
+        return new_version
+
     def expire_snapshots(
         self, keep_last: int = 2, vacuum: bool = True
     ) -> dict:

@@ -227,3 +227,47 @@ def test_rollback_restores_state_and_ledger(spark, tmp_path):
     # lsn 100 <= 200: merge LSN guard also protects; text unchanged
     assert {r["text"] for r in t.lookup(["c0"]).filter(
         F.col("turn_idx") == 0).collect()} == {"fixed"}
+
+
+def test_rebucket_migrates_layout(spark, tmp_path):
+    """Bucket-count evolution: state identical, new layout effective
+    for pruning and later merges, tombstones survive the migration."""
+    from etl_spark.lake.merge import merge_into
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "tbl"), fields=FIELDS,
+        key=["conv_id", "turn_idx"], bucket_by="conv_id",
+        num_buckets=2, write_mode="mor",
+    )
+    seed(spark, t)
+    def ev(conv, turn, text, lsn, op="U"):
+        src = spark.createDataFrame(
+            pd.DataFrame(dict(conv_id=[conv], turn_idx=[turn], text=[text],
+                              ts=[lsn], lsn=[lsn], op=[op]))
+        ).withColumn("turn_idx", F.col("turn_idx").cast("int"))
+        merge_into(t, src, batch_key=f"b{lsn}")
+
+    ev("c1", 1, "new", 100)
+    ev("c2", 2, "", 101, op="D")  # tombstone must survive rebucket
+    before = sorted(map(tuple, t.read().collect()))
+
+    v = t.rebucket(16)
+    assert t.current_version() == v and t.manifest().num_buckets == 16
+    assert sorted(map(tuple, t.read().collect())) == before
+    assert all(f.bucket < 16 for f in t.manifest().files)
+    # pruned lookup under the new layout
+    got = t.lookup(["c1"]).filter(F.col("turn_idx") == 1).collect()
+    assert [r["text"] for r in got] == ["new"]
+    # the delete stays dead: a stale lower-LSN update cannot resurrect
+    ev("c2", 2, "stale", 50)
+    assert t.read().filter(
+        (F.col("conv_id") == "c2") & (F.col("turn_idx") == 2)
+    ).count() == 0
+    # replayed pre-migration batch is still a no-op (ledger carried)
+    ev("c1", 1, "replayed", 100)
+    got = t.lookup(["c1"]).filter(F.col("turn_idx") == 1).collect()
+    assert [r["text"] for r in got] == ["new"]
+    # new work lands under the new layout
+    ev("c3", 3, "post", 200)
+    got = t.lookup(["c3"]).filter(F.col("turn_idx") == 3).collect()
+    assert [r["text"] for r in got] == ["post"]
