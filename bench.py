@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "text_fingerprint",
     "dedup_exact_docs",
     "dedup_ngram_jaccard",
+    "dedup_components",
     "dedup_minhash_lsh",
     "sim_cosine_topk",
     "sim_lsh_ann_topk",

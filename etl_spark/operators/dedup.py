@@ -447,14 +447,16 @@ def connected_components(
     instead of growing by two joins per round (the classic iterative-
     DataFrame trap that re-executes the whole prefix every action).
     """
-    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    edges = (
-        edges.union(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
+    # persist the (possibly expensive) pair pipeline BEFORE the
+    # forward/reverse union references it twice — without this the
+    # whole upstream candidate join runs once per union branch
+    p = _track_persist(
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    )
+    edges = _track_persist(
+        p.union(p.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
     )
-    edges = _track_persist(edges)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
