@@ -34,6 +34,10 @@ default — zero cost, bitwise-identical behavior):
 
 Delete events (op = "D") legitimately carry no payload and are never
 quarantined for a null payload.
+
+Routed mode: the DLQ directory is per-table state, like manifest_dir —
+give each entity's EngineConfig its own quarantine_dir (two routes
+sharing one directory would overwrite each other's batch_id=N dirs).
 """
 
 from __future__ import annotations

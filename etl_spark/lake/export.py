@@ -76,9 +76,21 @@ def export_changes(
     cur = table.current_version()
     if cur <= frm:
         return {"from_version": frm, "to_version": cur, "rows_exported": 0}
-    changes = read_changes(
-        table, frm, cur, include_pre_images=include_pre_images
-    )
+    try:
+        changes = read_changes(
+            table, frm, cur, include_pre_images=include_pre_images
+        )
+    except FileNotFoundError as e:
+        # retention outpaced this consumer: expire_snapshots reclaimed
+        # manifests the cursor still needs (same hazard as Iceberg
+        # snapshot expiry vs changelog consumers). Size keep_last to
+        # exceed the export cadence; recovery is a downstream resync.
+        raise RuntimeError(
+            f"export cursor is at version {frm} but snapshot history "
+            f"has been expired past it; full-resync downstream from "
+            f"the current snapshot and reset the cursor "
+            f"({cursor_path})"
+        ) from e
     dest = os.path.join(out_dir, f"from={frm + 1}")
     changes.write.mode("overwrite").parquet(dest)
     # exact count from the written footers (no extra job)

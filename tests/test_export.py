@@ -98,3 +98,22 @@ def test_export_crash_replay_is_idempotent(spark, tmp_path):
     assert dirs == ["from=1"]
 
 
+
+
+def test_export_fails_loud_when_retention_outpaces_cursor(spark, tmp_path):
+    """expire_snapshots reclaiming history the export cursor still
+    needs must be an actionable error, not a silent partial export."""
+    import pytest
+
+    t = make_table(spark, tmp_path)
+    seed(spark, t)
+    _merge(spark, t, "c0", 0, "u1", 100)
+    out = str(tmp_path / "downstream")
+    export_changes(t, out)  # cursor now at the current version
+    os.remove(os.path.join(out, "_cursor.json"))  # consumer "lost" it
+
+    _merge(spark, t, "c1", 1, "u2", 101)
+    _merge(spark, t, "c2", 2, "u3", 102)
+    t.expire_snapshots(keep_last=2)  # reclaims versions the cursor=0 needs
+    with pytest.raises(RuntimeError, match="expired past"):
+        export_changes(t, out)
