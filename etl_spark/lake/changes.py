@@ -61,8 +61,16 @@ def _commit_changes(
     table: LakeTable, v: int, include_pre_images: bool
 ) -> DataFrame | None:
     """Diff version v against v-1, restricted to the buckets v touched;
-    None when the commit changed no data files."""
+    None when the commit changed no data files — or when the commit is
+    a self-declared maintenance reorganization (compaction, bucket
+    evolution: version-stamped `maintenance_commit` prop), whose file
+    churn is 100% carried-over rows. The LSN guard would classify all
+    of them as unchanged anyway; the marker saves the full two-sided
+    diff scan, which otherwise makes the feed's cost grow with
+    maintenance frequency instead of change volume."""
     m_new = table.manifest(v)
+    if m_new.props.get("maintenance_commit") == v:
+        return None
     m_old = table.manifest(v - 1)
     new_paths = {f.path for f in m_new.files}
     old_paths = {f.path for f in m_old.files}

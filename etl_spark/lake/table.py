@@ -682,7 +682,12 @@ class LakeTable:
             files=staged,
             committed_batches=m.committed_batches,
             parent=m.version,
-            props={**m.props, "rebucketed_from": m.num_buckets},
+            props={
+                **m.props,
+                "rebucketed_from": m.num_buckets,
+                # logical no-op for the change feed (see compact)
+                "maintenance_commit": new_version,
+            },
         )
         self._commit_manifest(m2)
         return new_version
@@ -771,4 +776,10 @@ class LakeTable:
             # later-arriving stale events with lower LSN stay dead
             df = self._resolve_versions(df, m)
         df = df.withColumn(BUCKET_COL, self.bucket_expr(m))
-        return self.overwrite_buckets(df, todo)
+        # version-stamped maintenance marker: this commit reorganizes
+        # files without changing logical state, so the change feed can
+        # skip diffing it entirely (a stale inherited marker points at
+        # an OLD version and never matches — no prop-stripping needed)
+        return self.overwrite_buckets(
+            df, todo, props_update={"maintenance_commit": m.version + 1}
+        )

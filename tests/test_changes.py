@@ -167,3 +167,42 @@ def test_signed_deltas_maintenance(spark, tmp_path):
     # feeds without pre-images are rejected for delta maintenance
     with pytest.raises(ValueError):
         signed_deltas(read_changes(t, v0, v1, include_pre_images=False))
+
+
+def test_maintenance_commits_skip_the_feed_diff(spark, tmp_path):
+    """Compaction and rebucket commits are version-stamp-marked as
+    maintenance: the feed window spanning them emits the same logical
+    changes, and the per-commit diff short-circuits to None (no scan)
+    instead of relying on the LSN guard to discard carried-over rows."""
+    from etl_spark.lake.changes import _commit_changes
+
+    t = _mk(spark, tmp_path, "mor")
+    v0 = 0
+    merge_into(t, _src(spark, [
+        dict(conv_id="a", turn_idx=0, text="a0", lsn=1, op="U"),
+        dict(conv_id="b", turn_idx=0, text="b0", lsn=2, op="U"),
+    ]), batch_key="b0")
+    merge_into(t, _src(spark, [
+        dict(conv_id="a", turn_idx=0, text="a0v2", lsn=10, op="U"),
+        dict(conv_id="b", turn_idx=0, text=None, lsn=11, op="D"),
+    ]), batch_key="b1")
+    v_pre = t.current_version()
+    feed_before = read_changes(t, v0).toPandas()
+
+    v_compact = t.compact(max_files_per_bucket=1)
+    assert v_compact > v_pre  # compaction really committed
+    v_rebucket = t.rebucket(t.manifest().num_buckets * 2)
+
+    for v in (v_compact, v_rebucket):
+        assert t.manifest(v).props.get("maintenance_commit") == v
+        assert _commit_changes(t, v, include_pre_images=True) is None
+    # a stale inherited marker must NOT silence later real commits
+    assert t.manifest(v_rebucket).props["maintenance_commit"] != v_rebucket + 1
+
+    feed_after = read_changes(t, v0).toPandas()
+    pd.testing.assert_frame_equal(
+        feed_before.sort_values(["_commit_version", "conv_id", "turn_idx",
+                                 "_change_type"]).reset_index(drop=True),
+        feed_after.sort_values(["_commit_version", "conv_id", "turn_idx",
+                                "_change_type"]).reset_index(drop=True),
+    )
