@@ -564,11 +564,36 @@ class LakeTable:
         return m2.version
 
     def add_column(self, name: str, type_: str) -> int:
+        # allocate the id above every field EVER used (all historical
+        # schemas), not just the live ones: after a drop_column,
+        # max(live)+1 would recycle the dropped field's id and the
+        # field-ID read path would resurrect its old data under the
+        # new column's name
+        m = self.manifest()
+        next_id = 1 + max(
+            f.id for s in m.schemas.values() for f in s.fields
+        )
+
         def mut(fields: list[Field]) -> list[Field]:
             if any(f.name == name for f in fields):
                 raise ValueError(f"column {name} exists")
-            next_id = max(f.id for f in fields) + 1
             return fields + [Field(next_id, name, type_)]
+
+        return self._evolve(mut)
+
+    def drop_column(self, name: str) -> int:
+        """Metadata-only column drop (field-ID model: old data files
+        keep the bytes; the read projection simply stops mapping the
+        id, and `expire_snapshots` + compaction eventually rewrite
+        them away). Key and bucket columns cannot be dropped."""
+        m = self.manifest()
+        if name in m.key or name == m.bucket_by:
+            raise ValueError(f"cannot drop key/bucket column {name}")
+
+        def mut(fields: list[Field]) -> list[Field]:
+            if not any(f.name == name for f in fields):
+                raise ValueError(f"no column {name}")
+            return [f for f in fields if f.name != name]
 
         return self._evolve(mut)
 

@@ -271,3 +271,38 @@ def test_rebucket_migrates_layout(spark, tmp_path):
     ev("c3", 3, "post", 200)
     got = t.lookup(["c3"]).filter(F.col("turn_idx") == 3).collect()
     assert [r["text"] for r in got] == ["post"]
+
+
+def test_drop_column_no_resurrection_on_readd(spark, tmp_path):
+    """drop is metadata-only; re-adding a SAME-NAMED column allocates a
+    fresh field id, so the old files' bytes must NOT resurrect under
+    the new column (the classic field-ID-model correctness property)."""
+    from etl_spark.lake.merge import merge_into
+
+    t = make_table(spark, tmp_path)
+    seed(spark, t)
+    t.add_column("tool", "string")
+    src = spark.createDataFrame(
+        pd.DataFrame(dict(conv_id=["c0"], turn_idx=[0], text=["x"],
+                          ts=[100], tool=["bash"], lsn=[100], op=["U"]))
+    ).withColumn("turn_idx", F.col("turn_idx").cast("int"))
+    merge_into(t, src, batch_key="b100")
+    assert {r["tool"] for r in t.lookup(["c0"]).filter(
+        F.col("turn_idx") == 0).collect()} == {"bash"}
+    old_tool_id = next(
+        f.id for f in t.manifest().schema.fields if f.name == "tool"
+    )
+
+    t.drop_column("tool")
+    assert "tool" not in t.read().columns
+    import pytest
+    with pytest.raises(ValueError):
+        t.drop_column("conv_id")  # key column is protected
+
+    t.add_column("tool", "string")
+    new_tool_id = next(
+        f.id for f in t.manifest().schema.fields if f.name == "tool"
+    )
+    assert new_tool_id > old_tool_id  # fresh id, never recycled
+    vals = {r["tool"] for r in t.read().collect()}
+    assert vals == {None}  # nothing resurrected
