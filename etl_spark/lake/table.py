@@ -203,6 +203,53 @@ class LakeTable:
             raise FileNotFoundError(f"no manifests under {self._meta_dir}")
         return max(vs)
 
+    def history(self) -> DataFrame:
+        """Snapshot history (Iceberg `<table>.snapshots` metadata-table
+        analog): one row per retained version with commit kind, schema
+        id, file/batch counts, and deltas vs the parent. Driver-side
+        manifest walk — O(retained versions), no data scan."""
+        rows = []
+        for name in sorted(os.listdir(self._meta_dir)):
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
+            m = self.manifest(int(name[1:-5]))
+            parent_batches = None
+            if m.parent is not None:
+                try:
+                    parent_batches = set(self.manifest(m.parent).committed_batches)
+                except FileNotFoundError:
+                    pass  # parent expired
+            new_batches = (
+                sorted(set(m.committed_batches) - parent_batches)
+                if parent_batches is not None
+                else sorted(m.committed_batches)
+            )
+            if m.props.get("maintenance_commit") == m.version:
+                kind = "maintenance"
+            elif m.props.get("rollback_commit") == m.version:
+                kind = "rollback"
+            elif new_batches:
+                kind = "merge"
+            else:
+                kind = "schema"
+            rows.append(
+                (
+                    m.version,
+                    m.parent,
+                    kind,
+                    m.schema.schema_id,
+                    m.num_buckets,
+                    len(m.files),
+                    len(m.committed_batches),
+                    ",".join(new_batches),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "version long, parent long, kind string, schema_id int, "
+            "num_buckets int, n_files int, n_batches int, new_batches string",
+        )
+
     def manifest(self, version: int | None = None) -> Manifest:
         v = version if version is not None else self.current_version()
         with open(self._manifest_path(v)) as fh:
@@ -658,7 +705,13 @@ class LakeTable:
             files=old.files,
             committed_batches=old.committed_batches,
             parent=cur,
-            props={**old.props, "rolled_back_to": version},
+            # version-stamped (inherited copies point at an old
+            # version and never match — same trick as maintenance)
+            props={
+                **old.props,
+                "rolled_back_to": version,
+                "rollback_commit": cur + 1,
+            },
         )
         self._commit_manifest(m2)
         return m2.version

@@ -306,3 +306,30 @@ def test_drop_column_no_resurrection_on_readd(spark, tmp_path):
     assert new_tool_id > old_tool_id  # fresh id, never recycled
     vals = {r["tool"] for r in t.read().collect()}
     assert vals == {None}  # nothing resurrected
+
+
+def test_history_metadata_view(spark, tmp_path):
+    """One row per retained snapshot with a correct commit-kind
+    classification across merge / schema / maintenance / rollback."""
+    from etl_spark.lake.merge import merge_into
+
+    t = make_table(spark, tmp_path)
+    seed(spark, t)  # v1: merge (ledger gains "seed")
+    t.add_column("lang", "string")  # v2: schema
+    src = spark.createDataFrame(
+        pd.DataFrame(dict(conv_id=["c0"], turn_idx=[0], text=["x"], ts=[100],
+                          lang=["en"], lsn=[100], op=["U"]))
+    ).withColumn("turn_idx", F.col("turn_idx").cast("int"))
+    merge_into(t, src, batch_key="b100")  # v3: merge
+    t.rebucket(16)  # v4: maintenance
+    t.rollback(3)  # v5: rollback
+    t.add_column("tool", "string")  # v6: schema (after a rollback)
+
+    h = {r["version"]: r for r in t.history().collect()}
+    assert [h[v]["kind"] for v in sorted(h)] == [
+        "schema", "merge", "schema", "merge", "maintenance", "rollback",
+        "schema",
+    ]  # v0 create is a schema commit with no batches
+    assert h[3]["new_batches"] == "b100"
+    assert h[4]["num_buckets"] == 16 and h[5]["num_buckets"] == 8
+    assert h[6]["parent"] == 5
