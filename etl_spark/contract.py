@@ -836,6 +836,99 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation decision, one row per
+    document: quality band x exact-dup keeper x near-dup canonical —
+    the composition every single-purpose operator in this suite exists
+    to serve. A doc survives iff its band says keep AND it is the
+    min-id representative of both its exact-fingerprint group and its
+    near-dup connected component. Everything reuses the hash-exact
+    building blocks (text quality, fingerprint groupBy, Jaccard pairs,
+    min-label components), so the oracle is their SQL composition."""
+    docs = _t(spark, sf_dir, "documents")
+    quality = q_text_quality(spark, sf_dir).select("doc_id", "band")
+    perdoc = docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+    keepers = perdoc.groupBy("fp").agg(F.min("doc_id").alias("keeper_id"))
+    pairs = DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    comps = DD.connected_components(pairs).withColumnRenamed("id", "doc_id")
+    out = (
+        quality.join(perdoc, "doc_id")
+        .join(F.broadcast(keepers), "fp")
+        .join(comps, "doc_id", "left")
+    )
+    is_keeper = F.col("doc_id") == F.col("keeper_id")
+    is_canonical = F.col("component_id").isNull() | (
+        F.col("component_id") == F.col("doc_id")
+    )
+    return out.select(
+        "doc_id",
+        "band",
+        is_keeper.alias("is_exact_keeper"),
+        is_canonical.alias("is_canonical"),
+        F.when(~is_keeper | ~is_canonical, F.lit("drop_duplicate"))
+        .otherwise(F.col("band"))
+        .alias("decision"),
+    )
+
+
+SQL_CORPUS_CURATION = _SQL_SHINGLES.replace(
+    "WITH toks", "WITH RECURSIVE toks", 1
+) + """,
+shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.id < b.id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b
+  FROM shared
+  JOIN stats sa ON sa.id = id_a
+  JOIN stats sb ON sb.id = id_b
+  WHERE shared * 100 >= 80 * (sa.n_sh + sb.n_sh - shared)),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs),
+reach(id, comp) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+comps AS (
+  SELECT id AS doc_id, min(comp) AS component_id FROM reach GROUP BY id),
+q AS (
+  SELECT doc_id,
+    CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS INTEGER) AS n_tokens,
+    len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+        t -> list_contains(['the','a','of','and','to','in','is','that'], t))) AS n_stop,
+    length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+    length(text) AS n_chars
+  FROM documents),
+bands AS (
+  SELECT doc_id,
+    CASE WHEN n_tokens < 5 OR floor(100 * n_digit / n_chars) > 30 THEN 'drop'
+         WHEN floor(100 * n_stop / n_tokens) >= 10
+              AND floor(100 * n_punct / n_chars) <= 20 THEN 'keep'
+         ELSE 'review' END AS band
+  FROM q),
+fpk AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents),
+keepers AS (SELECT fp, min(doc_id) AS keeper_id FROM fpk GROUP BY fp)
+SELECT b.doc_id, b.band,
+       f.doc_id = k.keeper_id AS is_exact_keeper,
+       (c.component_id IS NULL OR c.component_id = b.doc_id) AS is_canonical,
+       CASE WHEN f.doc_id <> k.keeper_id
+                 OR (c.component_id IS NOT NULL AND c.component_id <> b.doc_id)
+            THEN 'drop_duplicate' ELSE b.band END AS decision
+FROM bands b
+JOIN fpk f USING (doc_id)
+JOIN keepers k USING (fp)
+LEFT JOIN comps c USING (doc_id)
+"""
+
+
 SQL_DEDUP_COMPONENTS = _SQL_SHINGLES.replace(
     "WITH toks", "WITH RECURSIVE toks", 1
 ) + """,
@@ -1428,6 +1521,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_components": q_dedup_components,
+    "corpus_curation": q_corpus_curation,
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_lsh_ann_topk": q_sim_lsh_ann_topk,
     "sim_ivf_topk": q_sim_ivf_topk,
@@ -1473,6 +1567,7 @@ ORACLES = {
     "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
     "dedup_components": SQL_DEDUP_COMPONENTS,
+    "corpus_curation": SQL_CORPUS_CURATION,
     "sim_cosine_topk": SQL_SIM_COSINE_TOPK,
     "sim_lsh_ann_topk": SQL_SIM_LSH_ANN,
     "sim_ivf_topk": SQL_SIM_IVF_TOPK,
