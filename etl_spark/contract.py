@@ -1172,6 +1172,45 @@ def q_mm_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_audio_meta(media)
 
 
+def q_mm_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode end-to-end: synthesize spec-valid AVI/MJPEG
+    containers per doc_id (operators/videocodec.py — RIFF hdrl/movi
+    lists, real JPEG frames padded to arithmetic byte lengths), then
+    decode them back via mapInPandas (RIFF tree walk + avih parse +
+    per-frame chunk measurement + first-frame SOF cross-check). The
+    oracle recomputes width/height/frames/duration AND the summed
+    per-frame byte lengths from doc_id arithmetic, so a hash match
+    proves the decoder genuinely walked every frame chunk of a real
+    container, not just the header."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    media = MM.synthesize_video(docs, "doc_id")
+    return MM.decode_video_meta(media)
+
+
+SQL_MM_DECODE_VIDEO = """
+WITH r AS (SELECT range AS i FROM range(0, 25)),
+fb AS (
+  SELECT d.doc_id,
+         CAST(SUM(100 + ((d.doc_id*17 + 7*r.i) % 50)) AS BIGINT)
+           AS frames_bytes_sum
+  FROM documents d JOIN r ON r.i < 5 + d.doc_id % 20
+  WHERE d.doc_id % 4 = 0
+  GROUP BY d.doc_id
+)
+SELECT d.doc_id AS media_id,
+       'avi/mjpg' AS format,
+       CAST(8 + d.doc_id % 25 AS INTEGER) AS width,
+       CAST(6 + (d.doc_id * 3) % 19 AS INTEGER) AS height,
+       CAST(5 + d.doc_id % 20 AS BIGINT) AS n_frames,
+       CAST(10 + (d.doc_id % 3) * 5 AS INTEGER) AS fps,
+       CAST(5 + d.doc_id % 20 AS BIGINT)
+         * (1000000 // (10 + (d.doc_id % 3) * 5)) AS duration_us,
+       fb.frames_bytes_sum
+FROM documents d JOIN fb USING (doc_id)
+WHERE d.doc_id % 4 = 0
+"""
+
+
 SQL_MM_DECODE_AUDIO = """
 WITH r AS (SELECT range AS i FROM range(0, 261)),
 s AS (
@@ -1530,6 +1569,7 @@ QUERIES = {
     "mm_decode_features": q_mm_decode_features,
     "mm_decode_real": q_mm_decode_real,
     "mm_decode_audio": q_mm_decode_audio,
+    "mm_decode_video": q_mm_decode_video,
     "mm_frame_sample": q_mm_frame_sample,
     "asof_click_error": q_asof_click_error,
     "cdc_changes_feed": q_cdc_changes_feed,
@@ -1575,6 +1615,7 @@ ORACLES = {
     "mm_binary_metadata": SQL_MM_BINARY,
     "mm_decode_real": SQL_MM_DECODE_REAL,
     "mm_decode_audio": SQL_MM_DECODE_AUDIO,
+    "mm_decode_video": SQL_MM_DECODE_VIDEO,
     "mm_frame_sample": SQL_MM_FRAME_SAMPLE,
     "asof_click_error": SQL_ASOF_CLICK_ERROR,
     "cdc_changes_feed": SQL_CDC_CHANGES_FEED,

@@ -284,3 +284,78 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
             F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("n_frames", T.LongType(), False),
+        T.StructField("fps", T.IntegerType(), False),
+        T.StructField("duration_us", T.LongType(), False),
+        T.StructField("frames_bytes_sum", T.LongType(), False),
+    ]
+)
+
+
+def synthesize_video(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic video-media synthesis: every id becomes a
+    spec-valid AVI/MJPEG container (operators/videocodec.py) whose
+    dimensions, frame count, rate, and per-frame byte lengths are pure
+    functions of the id (w = 8 + id % 25, h = 6 + id*3 % 19,
+    n = 5 + id % 20, fps = 10 + (id % 3) * 5, frame i length =
+    100 + ((id*17 + 7*i) % 50)) — everything the decoder must recover
+    is SQL-recomputable. mapInPandas, payloads never touch the driver."""
+    from etl_spark.operators import videocodec
+    from etl_spark.operators.common import spread
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "kind": [], "payload": [],
+                    "n_bytes": [], "sha256": []}
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                payload = videocodec.encode_avi_mjpeg(
+                    width=8 + mid % 25,
+                    height=6 + (mid * 3) % 19,
+                    n_frames=5 + mid % 20,
+                    fps=10 + (mid % 3) * 5,
+                    seed=mid * 17,
+                )
+                rows["media_id"].append(mid)
+                rows["kind"].append("video")
+                rows["payload"].append(payload)
+                rows["n_bytes"].append(len(payload))
+                rows["sha256"].append(hashlib.sha256(payload).hexdigest())
+            yield pd.DataFrame(rows)
+
+    src = spread(df.select(F.col(id_col).cast("long").alias("media_id")))
+    return src.mapInPandas(run, MEDIA_SCHEMA)
+
+
+def decode_video_meta(media: DataFrame) -> DataFrame:
+    """REAL video decode over Arrow batches: RIFF tree walk → avih
+    parse → per-frame chunk count/measure → first-frame JPEG SOF
+    cross-check (operators/videocodec.py). Fixed output schema,
+    partition-parallel, nothing on the driver."""
+    from etl_spark.operators import videocodec
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [videocodec.decode_avi(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": [m["format"] for m in metas],
+                    "width": [m["width"] for m in metas],
+                    "height": [m["height"] for m in metas],
+                    "n_frames": [m["n_frames"] for m in metas],
+                    "fps": [m["fps"] for m in metas],
+                    "duration_us": [m["duration_us"] for m in metas],
+                    "frames_bytes_sum": [m["frames_bytes_sum"] for m in metas],
+                }
+            )
+
+    return media.mapInPandas(run, VIDEO_META_SCHEMA)

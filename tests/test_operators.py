@@ -391,3 +391,46 @@ def test_connected_components_chain_and_merge(spark):
     )
     assert got == want
     DD.release_caches()
+
+
+def test_video_codec_round_trip_pure():
+    """Pure-function AVI/MJPEG codec: encode → decode recovers the
+    container params and the exact per-frame byte-length sum; corrupt
+    containers (frame-count lie, frame/header dimension disagreement)
+    raise instead of returning half-truths."""
+    import struct
+
+    from etl_spark.operators import videocodec as VC
+
+    for w, h, n, fps, seed in [(16, 12, 5, 10, 7), (64, 48, 23, 25, 999),
+                               (1, 1, 1, 1, 0)]:
+        m = VC.decode_avi(VC.encode_avi_mjpeg(w, h, n, fps, seed))
+        assert (m["format"], m["width"], m["height"], m["n_frames"]) == (
+            "avi/mjpg", w, h, n)
+        assert m["fps"] == fps
+        assert m["duration_us"] == n * (1_000_000 // fps)
+        assert m["frames_bytes_sum"] == sum(
+            100 + ((seed + 7 * i) % 50) for i in range(n))
+    with pytest.raises(ValueError):
+        VC.decode_avi(b"RIFFxxxxNOPE")
+    bad = bytearray(VC.encode_avi_mjpeg(8, 8, 3, 10, 1))
+    idx = bytes(bad).find(b"avih") + 8 + 16  # dwTotalFrames
+    bad[idx:idx + 4] = struct.pack("<I", 99)
+    with pytest.raises(ValueError, match="declares 99"):
+        VC.decode_avi(bytes(bad))
+
+
+def test_synthesize_and_decode_video_spark(spark, docs):
+    """End-to-end through mapInPandas: synthesized AVI bytes decode
+    back to the arithmetic-predicted container metadata."""
+    media = MM.synthesize_video(docs, "doc_id")
+    out = {r["media_id"]: r for r in MM.decode_video_meta(media).collect()}
+    assert len(out) == len(DOCS)
+    for doc_id, _txt in DOCS:
+        r = out[doc_id]
+        assert r["width"] == 8 + doc_id % 25
+        assert r["height"] == 6 + (doc_id * 3) % 19
+        assert r["n_frames"] == 5 + doc_id % 20
+        assert r["frames_bytes_sum"] == sum(
+            100 + ((doc_id * 17 + 7 * i) % 50)
+            for i in range(5 + doc_id % 20))
