@@ -113,6 +113,41 @@ def main() -> None:
     checks.append(("ivf centroids broadcast", "BroadcastNestedLoopJoin" in p))
     checks.append(("ivf no shuffle cartesian", "CartesianProduct" not in p))
 
+    # corpus curation: the per-fingerprint keeper table is broadcast
+    # (small dim vs the per-doc side) and nothing degenerates into a
+    # cartesian; the components iteration inside has its own eager
+    # actions, so only the final composition plan is audited here
+    from etl_spark.contract import q_corpus_curation
+    from etl_spark.operators import dedup as DD
+
+    p = plan_of(q_corpus_curation(spark, sf_dir))
+    DD.release_caches()
+    checks.append(("curation broadcasts keeper dim", "BroadcastHashJoin" in p))
+    checks.append(("curation no cartesian", "CartesianProduct" not in p))
+
+    # bucket-pruned point lookup: the scan must read strictly fewer
+    # files than the full table (manifest pruning, not a post-filter)
+    from etl_spark.lake.table import LakeTable
+    import tempfile
+
+    tdir = tempfile.mkdtemp(prefix="plan_lookup_")
+    lt = LakeTable.create(
+        spark, os.path.join(tdir, "tbl"),
+        [("conv_id", "string"), ("turn_idx", "int"), ("text", "string")],
+        ["conv_id", "turn_idx"], "conv_id", num_buckets=8,
+    )
+    import pandas as pd
+
+    seed_df = spark.createDataFrame(
+        pd.DataFrame(dict(conv_id=[f"c{i % 5}" for i in range(20)],
+                          turn_idx=list(range(20)),
+                          text=[f"t{i}" for i in range(20)]))
+    ).withColumn("turn_idx", F.col("turn_idx").cast("int"))
+    lt.append_full(seed_df, batch_key="seed")
+    n_lookup = len(lt.lookup(["c0"]).inputFiles())
+    n_full = len(lt.read().inputFiles())
+    checks.append(("lookup prunes file list", 0 < n_lookup < n_full))
+
     failed = [name for name, ok in checks if not ok]
     for name, ok in checks:
         print(("ok    " if ok else "FAIL  ") + name)
