@@ -33,7 +33,11 @@ def _poison(binlog: pd.DataFrame) -> tuple[pd.DataFrame, set[int], set[int]]:
     updates and muddy the oracle). Returns (corrupted copy,
     malformed-payload LSNs, unknown-version LSNs)."""
     out = binlog.copy()
-    upd = out.index[out["op"] == "U"].tolist()
+    # only non-re-emitted LSNs: poisoning one copy of a duplicated LSN
+    # would break the generator's duplicates-are-identical invariant
+    # (the other copy would still apply, making the oracle ambiguous)
+    singles = out["lsn"].map(out["lsn"].value_counts()) == 1
+    upd = out.index[(out["op"] == "U") & singles].tolist()
     bad_payload = upd[2::9][:6]
     bad_version = upd[5::9][:3]
     out.loc[bad_payload, "payload"] = '{"role": "user", truncated'
@@ -117,3 +121,32 @@ def test_quarantine_idempotent_on_replayed_batch(spark, tmp_path):
     pd.testing.assert_frame_equal(
         dlq1.reset_index(drop=True), dlq2.reset_index(drop=True)
     )
+
+
+def test_quarantine_with_watermark_dedup(spark, tmp_path):
+    """Quarantine composes with the watermark-dedup config (the one
+    path where footer stats are off and batch stats come from the slim
+    aggregation): poison still diverts, state still matches the
+    valid-only oracle."""
+    g = GenConfig(
+        n_convs=5, n_events=90, dup_rate=0.1, disorder_window=4,
+        segment_size=30, schema_op_fracs=(0.3, 0.7),
+    )
+    base, ops = gen_base(g), gen_schema_ops(g)
+    binlog = gen_binlog(g, base, ops)
+    poisoned, bad_payload, bad_version = _poison(binlog)
+    bad_lsns = bad_payload | bad_version
+    seg_dir = str(tmp_path / "segments")
+    write_segments(poisoned, seg_dir)
+
+    cfg = make_cfg(
+        tmp_path, quarantine_dir=str(tmp_path / "dlq"),
+        use_watermark_dedup=True,
+    )
+    bootstrap(spark, cfg, base)
+    replay(spark, cfg, seg_dir, ops)
+
+    valid = binlog[~binlog["lsn"].isin(bad_lsns)].reset_index(drop=True)
+    assert_frames_equal(final_state(spark, cfg), replay_oracle(base, valid, ops))
+    dlq = read_quarantine(spark, str(tmp_path / "dlq")).toPandas()
+    assert set(dlq["lsn"].astype(int)) == bad_lsns
