@@ -35,6 +35,17 @@ default — zero cost, bitwise-identical behavior):
 Delete events (op = "D") legitimately carry no payload and are never
 quarantined for a null payload.
 
+At-least-once corner: if a source re-delivers an LSN and only ONE copy
+is corrupt, the engine applies the valid copy and quarantines the
+corrupt one (each copy is judged on its own bytes). With
+``use_watermark_dedup`` the (key, LSN) dedup runs UPSTREAM of the
+screen, so whichever copy survives dedup is the one judged — a corrupt
+survivor sends the LSN to the DLQ even though a valid twin existed.
+The binlog contract (duplicates are byte-identical re-emits) makes the
+two behaviors coincide; sources that can corrupt one copy of a
+re-delivery should leave watermark dedup off and let the ledger + LSN
+guard absorb duplicates after screening.
+
 Routed mode: the DLQ directory is per-table state, like manifest_dir —
 give each entity's EngineConfig its own quarantine_dir (two routes
 sharing one directory would overwrite each other's batch_id=N dirs).
