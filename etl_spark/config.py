@@ -43,6 +43,14 @@ class EngineConfig:
     # unknown schema_version). None = off (zero cost); see
     # engine/quarantine.py for the exactly-once + accounting contract.
     quarantine_dir: str | None = None
+    # partial-image change events: the binlog may carry op='P' patches
+    # whose payload holds only the changed columns plus a `_changed`
+    # name mask (Debezium partial row image / MySQL binlog_row_image=
+    # MINIMAL). The apply path folds patches over the latest full
+    # image per key (engine/resolve.py resolve_patch_fold) and the
+    # MERGE coalesces unset columns from the target row. Requires
+    # write_mode="cow" — the MoR read-time contest picks whole rows.
+    patch_ops: bool = False
     # overlap batch N's lineage rollup with batch N+1's source read
     # (depth-1 commit pipelining; crash-safe — in-batch heal plus
     # startup reconciliation, see engine/apply.py reconcile_lineage).

@@ -88,6 +88,73 @@ WHERE rn = 1
 """
 
 
+def q_cdc_patch_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-image (patch) resolution: fold Debezium-style op='P'
+    events carrying only changed columns over the latest full image
+    per key, in ONE hash aggregation (engine/resolve.py
+    resolve_patch_fold — per-column `max(struct(lsn, value)) FILTER
+    (WHERE set)`; struct-max, not max_by, so a patch assigning NULL
+    folds identically in Spark and DuckDB). The events table is mapped
+    onto a change stream: lsn=event_id; every third event is a patch;
+    a patch carries `value` on even LSNs and `props` on LSN%5<3, never
+    `ts`. The reference overwrites whole rows in listing order
+    (/root/reference/src/pipeline/core/spark.py:157-177) — no
+    partial-image path exists there."""
+    from etl_spark.engine.resolve import resolve_patch_fold
+
+    ev = _t(spark, sf_dir, "events")
+    lsn = F.col("event_id")
+    is_p = lsn % 3 == 0
+    src = ev.select(
+        F.col("user_id"),
+        lsn.alias("lsn"),
+        F.when(is_p, F.lit("P")).otherwise(F.lit("U")).alias("op"),
+        F.col("value"),
+        F.col("props"),
+        F.col("ts"),
+        (~is_p | (lsn % 2 == 0)).alias("_set_value"),
+        (~is_p | (lsn % 5 < 3)).alias("_set_props"),
+        (~is_p).alias("_set_ts"),
+    )
+    out = resolve_patch_fold(src, ["user_id"])
+    return out.select(
+        "user_id",
+        F.col("value").alias("last_value"),
+        F.col("props").alias("last_props"),
+        F.col("ts").alias("last_ts"),
+        F.col("_set_value").alias("value_set"),
+        F.col("_set_props").alias("props_set"),
+        F.col("_set_ts").alias("ts_set"),
+        F.col("op").alias("fold_op"),
+        F.col("lsn").alias("last_lsn"),
+    )
+
+
+SQL_CDC_PATCH_FOLD = """
+WITH ev AS (
+  SELECT user_id, event_id AS lsn,
+         CASE WHEN event_id % 3 = 0 THEN 'P' ELSE 'U' END AS op,
+         value, props, ts,
+         (event_id % 3 <> 0 OR event_id % 2 = 0) AS set_value,
+         (event_id % 3 <> 0 OR event_id % 5 < 3) AS set_props,
+         (event_id % 3 <> 0) AS set_ts
+  FROM events
+)
+SELECT user_id,
+  (max(CASE WHEN set_value THEN {'l': lsn, 'v': value} END)).v AS last_value,
+  (max(CASE WHEN set_props THEN {'l': lsn, 'v': props} END)).v AS last_props,
+  (max(CASE WHEN set_ts   THEN {'l': lsn, 'v': ts}    END)).v AS last_ts,
+  max(CASE WHEN set_value THEN {'l': lsn, 'v': value} END) IS NOT NULL AS value_set,
+  max(CASE WHEN set_props THEN {'l': lsn, 'v': props} END) IS NOT NULL AS props_set,
+  max(CASE WHEN set_ts   THEN {'l': lsn, 'v': ts}    END) IS NOT NULL AS ts_set,
+  CASE WHEN max(CASE WHEN op <> 'P' THEN lsn END) IS NULL
+       THEN 'P' ELSE 'U' END AS fold_op,
+  max(lsn) AS last_lsn
+FROM ev
+GROUP BY user_id
+"""
+
+
 def q_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end lake MERGE: bootstrap from the first half of the
     events changelog, apply the second half in two batches through the
@@ -1532,6 +1599,7 @@ def q_cdc_transcripts_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "cdc_latest_per_key": q_cdc_latest_per_key,
+    "cdc_patch_fold": q_cdc_patch_fold,
     "cdc_merge_upsert": q_cdc_merge_upsert,
     "cdc_delete_semantics": q_cdc_delete_semantics,
     "cdc_anti_join_inserts": q_cdc_anti_join_inserts,
@@ -1580,6 +1648,7 @@ QUERIES = {
 
 ORACLES = {
     "cdc_latest_per_key": SQL_CDC_LATEST,
+    "cdc_patch_fold": SQL_CDC_PATCH_FOLD,
     "cdc_merge_upsert": SQL_CDC_MERGE,
     "cdc_delete_semantics": SQL_CDC_DELETE,
     "cdc_anti_join_inserts": SQL_CDC_ANTI,

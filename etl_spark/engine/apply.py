@@ -46,7 +46,7 @@ from etl_spark.cdc_schema import (
 from etl_spark.config import EngineConfig
 from etl_spark.engine import lineage
 from etl_spark.engine.normalize import normalize_text
-from etl_spark.engine.resolve import resolve_max_lsn
+from etl_spark.engine.resolve import resolve_max_lsn, resolve_patch_fold
 from etl_spark.engine.skew import salted_repartition
 from etl_spark.lake.merge import merge_into
 from etl_spark.lake.table import LakeTable, spark_type
@@ -84,6 +84,7 @@ def parse_events(
     target_version: int,
     versions: list[int] | None = None,
     spec: SourceSpec = TRANSCRIPTS,
+    with_set_flags: bool = False,
 ) -> DataFrame:
     """Decode the JSON payload by each event's schema_version and
     project every event onto the `target_version` schema, mapping
@@ -93,7 +94,17 @@ def parse_events(
 
     `versions` prunes the union to the schema versions actually
     present in the batch (steady state = one version = one branch,
-    no union, single scan)."""
+    no union, single scan).
+
+    `with_set_flags=True` (the partial-image/patch path) additionally
+    emits one boolean `_set_<col>` per target payload column: for full
+    images (op I/U/D) every flag is true; for op 'P' a flag is true
+    iff the payload's `_changed` mask names that column — in the
+    WRITER-version field name, so a patch written before a rename
+    still targets the right column (the mask is matched against the
+    version's field name, the value mapped by stable field ID).
+    A column that does not exist at the writer's version is unset for
+    patches (a patch cannot assign a field its schema didn't have)."""
     if versions is None:
         versions = list(range(BASE_VERSION, target_version + 1))
     target = [
@@ -106,13 +117,20 @@ def parse_events(
     branches = []
     for v in versions:
         pf = payload_fields(ops, v, spec)
-        pstruct = T.StructType(
-            [T.StructField(f.name, spark_type(f.type), True) for f in pf]
-        )
+        struct_fields = [T.StructField(f.name, spark_type(f.type), True) for f in pf]
+        if with_set_flags:
+            # the patch mask rides inside the payload JSON (Debezium
+            # envelope style): the list of writer-version field names
+            # the patch assigns
+            struct_fields.append(
+                T.StructField("_changed", T.ArrayType(T.StringType()), True)
+            )
+        pstruct = T.StructType(struct_fields)
         sub = df.filter(F.col("schema_version") == v).withColumn(
             "_p", F.from_json(F.col("payload"), pstruct)
         )
         by_id = {f.id: f for f in pf}
+        is_full = F.col("op") != F.lit("P")
         cols = [F.col(k) for k in spec.key] + [
             F.col("lsn"),
             F.col("op"),
@@ -122,6 +140,8 @@ def parse_events(
             src = by_id.get(fid)
             if src is None:
                 cols.append(F.lit(None).cast(spark_type(tf.type)).alias(tf.name))
+                if with_set_flags:
+                    cols.append(is_full.alias(f"_set_{tf.name}"))
             else:
                 c = F.col(f"_p.{src.name}")
                 if tf.type == "timestamp" and src.type == "string":
@@ -129,6 +149,19 @@ def parse_events(
                 elif src.type != tf.type:
                     c = c.cast(spark_type(tf.type))
                 cols.append(c.alias(tf.name))
+                if with_set_flags:
+                    cols.append(
+                        (
+                            is_full
+                            | F.array_contains(
+                                F.coalesce(
+                                    F.col("_p._changed"),
+                                    F.array().cast("array<string>"),
+                                ),
+                                F.lit(src.name),
+                            )
+                        ).alias(f"_set_{tf.name}")
+                    )
         branches.append(sub.select(*cols))
 
     out = branches[0]
@@ -345,6 +378,25 @@ def apply_batch(
     if stats_src["events_in"] == 0:
         return
     max_lsn = stats_src["max_lsn"]
+    if cfg.patch_ops and covered and stats_src["min_lsn"] <= covered[-1][1]:
+        # Full-image replay is order-insensitive (the MERGE max-LSN
+        # guard rejects stale rows), but a PATCH's base full image may
+        # live in a not-yet-applied earlier batch — folding it late
+        # would be silently lossy. The file source delivers segments
+        # in order (including after kill/resume), so this only fires
+        # on a genuinely reordered source; fail loud instead.
+        # (A cross-segment RE-delivery also dips below coverage and
+        # would be harmless — the fold plus LSN guard reject stale
+        # rows — but it is indistinguishable from a reorder at the
+        # batch level. Sources that re-deliver across segments should
+        # enable use_watermark_dedup, which drops re-delivered
+        # (key, lsn) pairs before this check sees them.)
+        raise ValueError(
+            f"patch_ops requires in-LSN-order batch delivery: batch "
+            f"{batch_id} spans [{stats_src['min_lsn']}, {max_lsn}] but "
+            f"prior batches already covered up to {covered[-1][1]}; "
+            f"for cross-segment re-delivery enable use_watermark_dedup"
+        )
     t = _tlog(batch_id, "stats", t)
 
     # 1. schema evolution due at this LSN horizon (metadata-only commits)
@@ -401,8 +453,16 @@ def apply_batch(
 
     # 3. parse by version -> current schema (JVM from_json + casts);
     #    only the versions present in the batch are unioned (steady
-    #    state: exactly one branch, one scan)
-    parsed = parse_events(batch_df, ops, target_version, versions=versions, spec=spec)
+    #    state: exactly one branch, one scan). patch_ops additionally
+    #    decodes the per-event `_changed` mask into `_set_<col>` flags.
+    parsed = parse_events(
+        batch_df,
+        ops,
+        target_version,
+        versions=versions,
+        spec=spec,
+        with_set_flags=cfg.patch_ops,
+    )
 
     # 4. vectorized text normalization (Arrow pandas UDF; D rows keep null)
     if cfg.normalize_text_col and spec.normalize_field_id is not None:
@@ -423,13 +483,28 @@ def apply_batch(
     #    separate dropDuplicates shuffle needed. with_counts piggybacks
     #    the exact raw/distinct event tallies for lineage on the same
     #    aggregation (no separate count_distinct job).
-    resolved = resolve_max_lsn(
-        parsed.drop("op_ts"),
-        list(spec.key),
-        salt_buckets=cfg.salt_buckets,
-        with_counts=True,
-        covered_lsn_ranges=covered,
-    )
+    if cfg.patch_ops:
+        # partial-image fold: per key, the latest full image plus any
+        # later patches' carried columns — one hash aggregation, same
+        # shuffle shape and lineage counts as the full-image path
+        # (engine/resolve.py resolve_patch_fold). CoW only: the MoR
+        # read-time LSN contest picks whole delta rows and cannot
+        # coalesce per column (merge_into raises).
+        resolved = resolve_patch_fold(
+            parsed.drop("op_ts"),
+            list(spec.key),
+            salt_buckets=cfg.salt_buckets,
+            with_counts=True,
+            covered_lsn_ranges=covered,
+        )
+    else:
+        resolved = resolve_max_lsn(
+            parsed.drop("op_ts"),
+            list(spec.key),
+            salt_buckets=cfg.salt_buckets,
+            with_counts=True,
+            covered_lsn_ranges=covered,
+        )
     # One materialization serves the merge (bucket discovery + join +
     # CoW write) and the lineage rollup; without it the whole parse/
     # normalize/shuffle pipeline re-runs per consumer.

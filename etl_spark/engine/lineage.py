@@ -29,6 +29,15 @@ from etl_spark.lake.table import BUCKET_COL, LakeTable
 INTERNAL_COLS = {BUCKET_COL, "_nev", "_nlsn", "_nnew"}
 
 
+def _content_cols(cols: list[str]) -> list[str]:
+    """Columns that participate in the lineage checksum: the resolved
+    change-set content, minus internal counters and the patch path's
+    `_set_<col>` flags (merge-internal routing, not row content)."""
+    return [
+        c for c in cols if c not in INTERNAL_COLS and not c.startswith("_set_")
+    ]
+
+
 def _canonical_checksum_col(cols: list[str]):
     # order-insensitive: per-row crc32 of a canonical string, summed
     return F.sum(
@@ -60,7 +69,7 @@ def write_batch_manifest(
     zero extra jobs (the round-1 design paid a separate full-batch
     count_distinct action for these)."""
     m = table.manifest()
-    content_cols = [c for c in resolved.columns if c not in INTERNAL_COLS]
+    content_cols = _content_cols(resolved.columns)
     aggs = [
         F.min("lsn").alias("min_lsn"),
         F.max("lsn").alias("max_lsn"),

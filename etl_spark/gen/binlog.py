@@ -58,6 +58,13 @@ class GenConfig:
     p_update: float = 0.45
     p_delete: float = 0.15
     dup_rate: float = 0.05
+    # fraction of UPDATE events emitted as partial-image patches
+    # (op='P'): payload carries only a seeded non-empty subset of the
+    # version's payload fields plus a `_changed` name mask (Debezium
+    # partial row image). Patches only ever target live rows — the
+    # generator draws them from the same live set as U, so 'P' never
+    # lands between a key's D and its next I.
+    patch_rate: float = 0.0
     disorder_window: int = 8
     segment_size: int = 50
     zipf_alpha: float = 1.2
@@ -163,6 +170,10 @@ def gen_binlog(
         rng, min(max(64, cfg.n_events), 20000), messy=cfg.messy_text
     )
     text_picks = rng.integers(0, len(pool), size=cfg.n_events)
+    patch_draws = rng.random(cfg.n_events)
+    # per-event field-subset selector for patches: bit i keeps payload
+    # field i; drawn over a wide range so any field count is covered
+    patch_bits = rng.integers(1, 1 << 16, size=cfg.n_events)
 
     def _pick_live(conv: str) -> int:
         lst = live[conv]
@@ -188,6 +199,8 @@ def gen_binlog(
             live[conv].append(turn)
         elif r < cfg.p_insert + cfg.p_update:
             op, turn = "U", _pick_live(conv)
+            if cfg.patch_rate and patch_draws[lsn - 1] < cfg.patch_rate:
+                op = "P"
         else:
             op, turn = "D", _pick_live(conv)
             _remove_live(conv, turn)
@@ -214,6 +227,15 @@ def gen_binlog(
                 if f.id == 6 and f.type == "string" and v is not None:
                     v = pd.Timestamp(v, unit="s").strftime("%Y-%m-%d %H:%M:%S")
                 doc[f.name] = v
+            if op == "P":
+                # partial image: keep a seeded non-empty subset of the
+                # version's payload fields and name them in `_changed`
+                bits = int(patch_bits[lsn - 1])
+                keep = [f.name for i, f in enumerate(fields) if bits & (1 << i)]
+                if not keep:
+                    keep = [fields[bits % len(fields)].name]
+                doc = {k: doc[k] for k in keep}
+                doc["_changed"] = keep
             payload = json.dumps(doc)
         events.append(
             dict(

@@ -61,14 +61,22 @@ def replay_oracle(
             state.pop(key, None)
             continue
         doc = json.loads(e["payload"])
-        if "text" in doc:
+        changed = doc.pop("_changed", None)
+        if "text" in doc and doc["text"] is not None:
             doc["text"] = normalize_text_py(doc["text"])
         # post-widen ISO ts string -> Timestamp
         final_fields = {f.name: f for f in fields_at_version(ops, BASE_VERSION + applied)}
         for name, f in final_fields.items():
             if f.type == "timestamp" and isinstance(doc.get(name), str):
                 doc[name] = pd.Timestamp(doc[name])
-        state[key] = doc
+        if e["op"] == "P":
+            # partial image: patch only the carried fields onto the
+            # live row (the generator never patches a dead key)
+            row = state.setdefault(key, {})
+            for k in changed or doc.keys():
+                row[k] = doc.get(k)
+        else:
+            state[key] = doc
     apply_ops_up_to(1 << 62)
 
     final_names = [f.name for f in fields_at_version(ops, BASE_VERSION + len(pending))]

@@ -57,7 +57,23 @@ def merge_into(
     key = m.key
     payload_cols = [f.name for f in m.schema.fields if f.name not in key]
 
+    # Partial-image sources (resolve_patch_fold) carry one boolean
+    # `_set_<col>` per payload column; an unset column keeps the
+    # TARGET row's value (per-column coalesce), so a patch-only key
+    # updates exactly the columns its patches carried. Full-image
+    # sources have no flags and behave as before.
+    set_flags = {
+        c: f"_set_{c}" for c in payload_cols if f"_set_{c}" in source.columns
+    }
+
     if table.write_mode(m) == "mor":
+        if set_flags:
+            raise ValueError(
+                "merge_into: partial-image (_set_*) sources require "
+                "copy-on-write — the MoR read-time LSN contest picks "
+                "whole delta rows and cannot coalesce per column "
+                "(EngineConfig.patch_ops with write_mode='cow')"
+            )
         is_del = F.col(OP_COL) == F.lit("D")
         delta = source.select(
             *[F.col(k) for k in key],
@@ -101,6 +117,7 @@ def merge_into(
         s = src.select(
             *[F.col(k).alias(f"_s_{k}") for k in key],
             *[F.col(c).alias(f"_s_{c}") for c in payload_cols],
+            *[F.col(sf).alias(f"_s{sf}") for sf in set_flags.values()],
             F.col(OP_COL).alias("_s_op"),
             F.col(LSN_COL).alias("_s_lsn"),
         )
@@ -119,8 +136,14 @@ def merge_into(
         for k in key:
             out_cols.append(F.coalesce(s[f"_s_{k}"], tgt[k]).alias(k))
         for c in payload_cols:
+            if c in set_flags:
+                # unset column: the source row wins the LSN contest but
+                # this column keeps the target's value (patch coalesce)
+                src_val = F.when(s[f"_s{set_flags[c]}"], s[f"_s_{c}"]).otherwise(tgt[c])
+            else:
+                src_val = s[f"_s_{c}"]
             out_cols.append(
-                F.when(take_src & ~is_del, s[f"_s_{c}"])
+                F.when(take_src & ~is_del, src_val)
                 .when(take_src & is_del, F.lit(None))
                 .otherwise(tgt[c])
                 .alias(c)
