@@ -43,6 +43,12 @@ class EngineConfig:
     # unknown schema_version). None = off (zero cost); see
     # engine/quarantine.py for the exactly-once + accounting contract.
     quarantine_dir: str | None = None
+    # commit onto a named branch (write-audit-publish): micro-batches
+    # land on _meta/branches/<branch> while main readers see the
+    # pre-fork table; an auditor validates the branch state and
+    # LakeTable.publish_branch fast-forwards main (metadata-only).
+    # None = commit straight to main (the default path).
+    branch: str | None = None
     # partial-image change events: the binlog may carry op='P' patches
     # whose payload holds only the changed columns plus a `_changed`
     # name mask (Debezium partial row image / MySQL binlog_row_image=

@@ -348,7 +348,7 @@ def apply_batch(
     stats_override: dict | None = None,
 ) -> None:
     t0 = time.time()
-    table = LakeTable(spark, cfg.table_root)
+    table = LakeTable(spark, cfg.table_root, branch=cfg.branch)
     batch_key = f"{source_id}:{batch_id}"
 
     m0 = table.manifest()
@@ -603,7 +603,7 @@ def reconcile_lineage(
     stream; run_replay does. Returns the reconciled batch ids."""
     if not LakeTable.exists(cfg.table_root):
         return []
-    table = LakeTable(spark, cfg.table_root)
+    table = LakeTable(spark, cfg.table_root, branch=cfg.branch)
     prefix = f"{source_id}:"
     healed: list[int] = []
     for k in sorted(table.manifest().committed_batches):

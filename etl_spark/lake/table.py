@@ -33,6 +33,8 @@ from __future__ import annotations
 
 import json
 import os
+import re
+import shutil
 import uuid
 from dataclasses import dataclass, field as dc_field
 
@@ -179,16 +181,30 @@ class Manifest:
 
 class LakeTable:
     """A versioned parquet table keyed on `key`, hash-bucketed on
-    `bucket_by` (the key prefix, e.g. conv_id) into `num_buckets`."""
+    `bucket_by` (the key prefix, e.g. conv_id) into `num_buckets`.
 
-    def __init__(self, spark: SparkSession, root: str):
+    `branch` opens a named branch view (Iceberg branch/ref analog for
+    the write-audit-publish workflow, see `create_branch`): same data
+    directory, manifests under `_meta/branches/<name>/`. Commits on a
+    branch view are invisible to main readers until
+    `publish_branch` fast-forwards them."""
+
+    def __init__(self, spark: SparkSession, root: str, branch: str | None = None):
         self.spark = spark
         self.root = root
+        self.branch = branch
 
     # ------------------------------------------------------------- meta
     @property
     def _meta_dir(self) -> str:
-        return os.path.join(self.root, "_meta")
+        base = os.path.join(self.root, "_meta")
+        if self.branch:
+            return os.path.join(base, "branches", self.branch)
+        return base
+
+    @property
+    def _branches_dir(self) -> str:
+        return os.path.join(self.root, "_meta", "branches")
 
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self._meta_dir, f"v{version:010d}.json")
@@ -770,6 +786,148 @@ class LakeTable:
         self._commit_manifest(m2)
         return new_version
 
+    # -------------------------------------------------------- branches
+    # Write-audit-publish (Iceberg branching / WAP analog): a branch is
+    # a parallel manifest chain under _meta/branches/<name>/ sharing
+    # the data directory. A CDC stream (or backfill job) commits onto
+    # the branch, an auditor validates the branch state (lineage
+    # invariants, quality gates) while main readers still see the
+    # pre-branch table, and publish fast-forwards main by MOVING the
+    # branch manifests into the main namespace — metadata-only, no
+    # data rewrite. Single-writer contract: publish requires main to
+    # be exactly at the fork version (a main commit after the fork is
+    # a conflict, not a rebase).
+
+    def branches(self) -> list[str]:
+        if not os.path.isdir(self._branches_dir):
+            return []
+        return sorted(
+            n
+            for n in os.listdir(self._branches_dir)
+            if os.path.isdir(os.path.join(self._branches_dir, n))
+        )
+
+    def create_branch(self, name: str) -> "LakeTable":
+        """Fork a branch at the current version; returns the branch
+        view. The fork manifest is copied so the branch chain is
+        self-contained (readable even after main expires v_fork)."""
+        if self.branch:
+            raise ValueError("create_branch on a branch view (no nesting)")
+        if not re.fullmatch(r"[A-Za-z0-9_\-]{1,64}", name):
+            raise ValueError(f"bad branch name: {name!r}")
+        bdir = os.path.join(self._branches_dir, name)
+        os.makedirs(bdir, exist_ok=False)  # loud on duplicate
+        fork = self.current_version()
+        shutil.copy(self._manifest_path(fork), os.path.join(bdir, f"v{fork:010d}.json"))
+        with open(os.path.join(bdir, "fork.json"), "w") as fh:
+            json.dump({"fork": fork}, fh)
+        return LakeTable(self.spark, self.root, branch=name)
+
+    def _branch_fork(self, name: str) -> int:
+        with open(os.path.join(self._branches_dir, name, "fork.json")) as fh:
+            return int(json.load(fh)["fork"])
+
+    def _branch_versions(self, name: str) -> list[int]:
+        bdir = os.path.join(self._branches_dir, name)
+        return sorted(
+            int(n[1:-5])
+            for n in os.listdir(bdir)
+            if n.startswith("v") and n.endswith(".json")
+        )
+
+    def publish_branch(self, name: str) -> int:
+        """Fast-forward main to the branch head: move the branch's
+        post-fork manifests into the main namespace in ascending
+        order (each an atomic same-filesystem rename; a crash mid-way
+        leaves a valid shorter main chain and the publish is
+        re-entrant), then drop the branch. Returns the new main
+        version. Raises if main moved past the fork — the
+        write-audit-publish contract is single-writer, audit-then-
+        publish, not merge."""
+        if self.branch:
+            raise ValueError("publish_branch must be called on the main view")
+        bdir = os.path.join(self._branches_dir, name)
+        if not os.path.isdir(bdir):
+            raise FileNotFoundError(f"no such branch: {name}")
+        fork = self._branch_fork(name)
+        versions = [v for v in self._branch_versions(name) if v > fork]
+        cur = self.current_version()
+        if versions:
+            # fresh publish: main must still be at the fork. Resumed
+            # publish (crash mid-move): main's head must be exactly the
+            # version preceding the first un-moved branch manifest —
+            # i.e. the last one a previous publish already moved.
+            if cur != versions[0] - 1:
+                raise ValueError(
+                    f"publish conflict: main is at v{cur}, branch {name!r} "
+                    f"forked at v{fork} with pending versions {versions} — "
+                    f"main advanced since the fork"
+                )
+            for v in versions:
+                src = os.path.join(bdir, f"v{v:010d}.json")
+                dst = self._manifest_path(v)
+                if os.path.exists(dst):
+                    # a same-numbered main manifest can only be a foreign
+                    # commit racing the publish — refuse unless identical
+                    with open(src) as a, open(dst) as b:
+                        if a.read() != b.read():
+                            raise ValueError(
+                                f"publish conflict: main already has a "
+                                f"different v{v} manifest"
+                            )
+                    os.remove(src)
+                    continue
+                os.rename(src, dst)
+        shutil.rmtree(bdir)
+        if not os.listdir(self._branches_dir):
+            os.rmdir(self._branches_dir)
+        return self.current_version()
+
+    def drop_branch(self, name: str, vacuum: bool = True) -> dict:
+        """Abandon a branch (failed audit). With `vacuum`, physically
+        delete the data files its post-fork commits staged, unless a
+        surviving manifest (main or another branch) references them.
+        Main state is untouched."""
+        if self.branch:
+            raise ValueError("drop_branch must be called on the main view")
+        bdir = os.path.join(self._branches_dir, name)
+        if not os.path.isdir(bdir):
+            raise FileNotFoundError(f"no such branch: {name}")
+        fork = self._branch_fork(name)
+        stats = {"files_removed": 0, "bytes_removed": 0}
+        if vacuum:
+            branch_files: set[str] = set()
+            bt = LakeTable(self.spark, self.root, branch=name)
+            for v in self._branch_versions(name):
+                if v > fork:
+                    branch_files |= {f.path for f in bt.manifest(v).files}
+            keep: set[str] = set()
+            for v in self._branch_versions(name):
+                if v == fork:
+                    keep |= {f.path for f in bt.manifest(v).files}
+            for name2 in os.listdir(self._meta_dir):
+                if name2.startswith("v") and name2.endswith(".json"):
+                    keep |= {f.path for f in self.manifest(int(name2[1:-5])).files}
+            for other in self.branches():
+                if other == name:
+                    continue
+                ot = LakeTable(self.spark, self.root, branch=other)
+                for v in self._branch_versions(other):
+                    keep |= {f.path for f in ot.manifest(v).files}
+            for rel in sorted(branch_files - keep):
+                full = os.path.join(self.root, rel)
+                if os.path.exists(full):
+                    stats["bytes_removed"] += os.path.getsize(full)
+                    os.remove(full)
+                    stats["files_removed"] += 1
+                    d = os.path.dirname(full)
+                    if os.path.isdir(d) and not os.listdir(d):
+                        os.rmdir(d)
+        shutil.rmtree(bdir)
+        if not os.listdir(self._branches_dir):
+            os.rmdir(self._branches_dir)
+        return stats
+
     def expire_snapshots(
         self, keep_last: int = 2, vacuum: bool = True
     ) -> dict:
@@ -793,6 +951,11 @@ class LakeTable:
         """
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
+        if self.branch:
+            raise ValueError(
+                "expire_snapshots runs on the main view only (branch "
+                "lifecycles end at publish_branch/drop_branch)"
+            )
         cur = self.current_version()
         cutoff = max(0, cur - keep_last + 1)  # keep [cutoff .. cur]
         stats = {
@@ -815,6 +978,16 @@ class LakeTable:
             path = self._manifest_path(v)
             if os.path.exists(path):
                 referenced |= {f.path for f in self.manifest(v).files}
+        # live branches share the data directory: everything their
+        # manifest chains reference survives, and the versions they
+        # staged are skipped outright (a branch version can number at
+        # or below main's head if a writer bypassed the WAP contract)
+        branch_vers: set[int] = set()
+        for b in self.branches():
+            bt = LakeTable(self.spark, self.root, branch=b)
+            for v in self._branch_versions(b):
+                branch_vers.add(v)
+                referenced |= {f.path for f in bt.manifest(v).files}
         data_dir = os.path.join(self.root, "data")
         for cdir in sorted(os.listdir(data_dir)):
             # commit dirs are data/c<version>-<token>; anything staged
@@ -823,7 +996,7 @@ class LakeTable:
                 cver = int(cdir[1:].split("-", 1)[0])
             except ValueError:
                 continue
-            if cver > cur:
+            if cver > cur or cver in branch_vers:
                 continue
             cpath = os.path.join(data_dir, cdir)
             for root, _dirs, files in os.walk(cpath, topdown=False):
