@@ -135,8 +135,14 @@ def _commit_changes(
         # pre-image/delete carry the OLD values (tombstone payloads are
         # null); the delete's LSN is the tombstone's (the change event),
         # falling back to the old row's if the row was physically
-        # dropped rather than tombstoned
-        change(o_live & ~n_live & newer, DELETE, "_o",
+        # dropped rather than tombstoned. No `newer` guard here: a
+        # live->dead transition is a state change even at EQUAL LSN —
+        # an out-of-band erase (`LakeTable.erase_where`) tombstones
+        # while keeping the row's own LSN so future higher-LSN events
+        # stay applicable, and a rollback can drop a row entirely.
+        # Carried-over copies are both-sides-live (or both-dead) and
+        # never hit this branch.
+        change(o_live & ~n_live, DELETE, "_o",
                F.coalesce(n_lsn, o_lsn)),
     ]
     if include_pre_images:

@@ -244,6 +244,8 @@ class LakeTable:
                 kind = "maintenance"
             elif m.props.get("rollback_commit") == m.version:
                 kind = "rollback"
+            elif m.props.get("erase_commit") == m.version:
+                kind = "erase"
             elif new_batches:
                 kind = "merge"
             else:
@@ -266,7 +268,10 @@ class LakeTable:
             "num_buckets int, n_files int, n_batches int, new_batches string",
         )
 
-    def manifest(self, version: int | None = None) -> Manifest:
+    def manifest(self, version: int | str | None = None) -> Manifest:
+        """`version` may be an int, None (current), or a tag name."""
+        if isinstance(version, str):
+            version = self.tag_version(version)
         v = version if version is not None else self.current_version()
         with open(self._manifest_path(v)) as fh:
             return Manifest.from_json(json.load(fh))
@@ -382,11 +387,12 @@ class LakeTable:
         self,
         buckets: list[int] | None = None,
         include_system: bool = False,
-        version: int | None = None,
+        version: int | str | None = None,
     ) -> DataFrame:
         """Scan live rows (max-LSN resolved under merge-on-read,
         tombstones filtered). `buckets` prunes the file list — the
-        partition-pruning path MERGE relies on."""
+        partition-pruning path MERGE relies on. `version` may be a
+        snapshot number (time travel) or a tag name."""
         m = self.manifest(version)
         files = m.files if buckets is None else [f for f in m.files if f.bucket in set(buckets)]
         df = self._read_files(m, files)
@@ -928,6 +934,143 @@ class LakeTable:
             os.rmdir(self._branches_dir)
         return stats
 
+    # ------------------------------------------------------------- tags
+    # Immutable named snapshot refs (Iceberg tag analog): a tag pins a
+    # version for reproducible reads — "the corpus train run X was
+    # built from" — and retention keeps the pinned manifest and its
+    # files alive however old they get.
+
+    @property
+    def _tags_dir(self) -> str:
+        return os.path.join(self.root, "_meta", "tags")
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin `version` (default: current) under an immutable name.
+        O_EXCL create — re-tagging an existing name is an error
+        (drop_tag first); tags are main-namespace refs."""
+        if self.branch:
+            raise ValueError("tags pin main versions; call on the main view")
+        if not re.fullmatch(r"[A-Za-z0-9_\-.]{1,64}", name):
+            raise ValueError(f"bad tag name: {name!r}")
+        v = version if version is not None else self.current_version()
+        if not os.path.exists(self._manifest_path(v)):
+            raise FileNotFoundError(f"no manifest for version {v}")
+        os.makedirs(self._tags_dir, exist_ok=True)
+        path = os.path.join(self._tags_dir, f"{name}.json")
+        payload = json.dumps({"version": v}).encode()
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            os.write(fd, payload)
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        return v
+
+    def tags(self) -> dict[str, int]:
+        if not os.path.isdir(self._tags_dir):
+            return {}
+        out = {}
+        for n in sorted(os.listdir(self._tags_dir)):
+            if n.endswith(".json"):
+                with open(os.path.join(self._tags_dir, n)) as fh:
+                    out[n[:-5]] = int(json.load(fh)["version"])
+        return out
+
+    def tag_version(self, name: str) -> int:
+        path = os.path.join(self._tags_dir, f"{name}.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"no such tag: {name}")
+        with open(path) as fh:
+            return int(json.load(fh)["version"])
+
+    def drop_tag(self, name: str) -> None:
+        path = os.path.join(self._tags_dir, f"{name}.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"no such tag: {name}")
+        os.remove(path)
+
+    # ------------------------------------------------------------ erase
+    def erase_where(self, cond, batch_key: str | None = None) -> int:
+        """Out-of-band predicate erase (GDPR right-to-be-forgotten over
+        a transcripts lake): matching LIVE rows become tombstones —
+        payload columns nulled, key and `_lsn` kept, `_deleted` set —
+        rather than being physically dropped, so a late stale change
+        event (lower LSN) can never resurrect erased content through
+        the MERGE guard. The content itself is gone from the new files;
+        run `expire_snapshots` to age out the pre-erase snapshots that
+        still hold it, completing the physical erasure.
+
+        Cost: one slim job to find the touched buckets (bounded driver
+        transfer, <= num_buckets ids), then a rewrite of exactly those
+        buckets. Use `erase_keys` for the key-based form, which skips
+        the discovery scan entirely. Commits a normal version: the
+        change feed emits the erasures as deletes downstream. The
+        reference has no erase path at all — its deletes are per-row
+        ALTER ... DELETE mutations (/root/reference/src/pipeline/core/
+        spark.py:157-177 analog surface)."""
+        m = self.manifest()
+        if batch_key is not None and batch_key in m.committed_batches:
+            return m.version
+        live = self.read(include_system=True)
+        touched = sorted(
+            r[0]
+            for r in live.filter(cond)
+            .select(self.bucket_expr(m).alias("b"))
+            .distinct()
+            .collect()
+        )
+        if not touched:
+            return m.version
+        return self._erase_buckets(m, cond, touched, batch_key)
+
+    def erase_keys(self, values: list, batch_key: str | None = None) -> int:
+        """Erase all turns of the given `bucket_by` values (e.g. every
+        row of a set of conv_ids) — the common erasure-request shape.
+        Bucket-pruned end-to-end: no discovery scan, the rewrite reads
+        only the buckets the values hash into."""
+        m = self.manifest()
+        if batch_key is not None and batch_key in m.committed_batches:
+            return m.version
+        if not values:
+            return m.version
+        fld = next(f for f in m.schema.fields if f.name == m.bucket_by)
+        lit_df = self.spark.createDataFrame(
+            [(v,) for v in values],
+            T.StructType([T.StructField(m.bucket_by, spark_type(fld.type))]),
+        )
+        touched = sorted(
+            r[0]
+            for r in lit_df.select(self.bucket_expr(m).alias("b")).distinct().collect()
+        )
+        return self._erase_buckets(
+            m, F.col(m.bucket_by).isin(values), touched, batch_key
+        )
+
+    def _erase_buckets(
+        self, m: Manifest, cond, touched: list[int], batch_key: str | None
+    ) -> int:
+        df = self.read_raw(buckets=touched)
+        if self.write_mode(m) == "mor":
+            df = self._resolve_versions(df, m)
+        alive = ~F.coalesce(F.col(SYS_DELETED), F.lit(False))
+        hit = cond & alive
+        payload = [f.name for f in m.schema.fields if f.name not in m.key]
+        out = df.select(
+            *[F.col(k) for k in m.key],
+            *[F.when(hit, F.lit(None)).otherwise(F.col(c)).alias(c) for c in payload],
+            F.col(SYS_LSN),
+            (
+                F.coalesce(F.col(SYS_DELETED), F.lit(False))
+                | F.coalesce(cond, F.lit(False))  # NULL predicate = no match
+            ).alias(SYS_DELETED),
+        ).withColumn(BUCKET_COL, self.bucket_expr(m))
+        return self.overwrite_buckets(
+            out,
+            touched,
+            batch_key=batch_key,
+            props_update={"erase_commit": m.version + 1},
+        )
+
     def expire_snapshots(
         self, keep_last: int = 2, vacuum: bool = True
     ) -> dict:
@@ -958,6 +1101,7 @@ class LakeTable:
             )
         cur = self.current_version()
         cutoff = max(0, cur - keep_last + 1)  # keep [cutoff .. cur]
+        tagged = set(self.tags().values())  # pinned versions never expire
         stats = {
             "manifests_removed": 0,
             "files_removed": 0,
@@ -967,14 +1111,14 @@ class LakeTable:
         for name in sorted(os.listdir(self._meta_dir)):
             if not (name.startswith("v") and name.endswith(".json")):
                 continue
-            if int(name[1:-5]) < cutoff:
+            if int(name[1:-5]) < cutoff and int(name[1:-5]) not in tagged:
                 os.remove(os.path.join(self._meta_dir, name))
                 stats["manifests_removed"] += 1
         if not vacuum:
             return stats
 
         referenced: set[str] = set()
-        for v in range(cutoff, cur + 1):
+        for v in sorted(set(range(cutoff, cur + 1)) | tagged):
             path = self._manifest_path(v)
             if os.path.exists(path):
                 referenced |= {f.path for f in self.manifest(v).files}
