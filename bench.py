@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_QUERIES = [
     "cdc_latest_per_key",
+    "cdc_patch_fold",
     "cdc_merge_upsert",
     "agg_groupby_stats",
     "window_lag_gap",

@@ -125,6 +125,19 @@ def main() -> None:
     checks.append(("curation broadcasts keeper dim", "BroadcastHashJoin" in p))
     checks.append(("curation no cartesian", "CartesianProduct" not in p))
 
+    # patch fold: ONE aggregation boundary (partial+final hash agg,
+    # same shuffle shape as the full-image resolve), no join, no
+    # second exchange — the per-column struct-max folds ride the one
+    # groupBy(key) aggregation
+    from etl_spark.contract import q_cdc_patch_fold
+
+    p = plan_of(q_cdc_patch_fold(spark, sf_dir))
+    # formatted mode lists each Exchange's partitioning once, in its
+    # Arguments line
+    checks.append(("patch fold single exchange", p.count("hashpartitioning") == 1))
+    checks.append(("patch fold no join", "Join" not in p))
+    checks.append(("patch fold map-side partial agg", p.count("Aggregate") >= 2))
+
     # bucket-pruned point lookup: the scan must read strictly fewer
     # files than the full table (manifest pruning, not a post-filter)
     from etl_spark.lake.table import LakeTable
