@@ -13,12 +13,13 @@ from etl_spark.pipeline import bootstrap, final_state
 from tests.util import assert_frames_equal
 
 
-def run_engine_batches(spark, tmp_path, cfg_gen: GenConfig, ops, base, binlog):
+def run_engine_batches(spark, tmp_path, cfg_gen: GenConfig, ops, base, binlog, **cfg_kw):
     cfg = EngineConfig(
         table_root=str(tmp_path / "tbl"),
         manifest_dir=str(tmp_path / "manifest"),
         checkpoint_dir=str(tmp_path / "ckpt"),
         num_buckets=8,
+        **cfg_kw,
     )
     bootstrap(spark, cfg, base)
     for batch_id, (_, seg) in enumerate(binlog.groupby("_seg")):
@@ -184,17 +185,19 @@ from hypothesis import HealthCheck, given, settings, strategies as st
     disorder=st.integers(0, 12),
     dup_pct=st.integers(0, 30),
     evolve=st.booleans(),
+    patch_pct=st.integers(0, 60),
 )
 def test_replay_equivalence_property(
-    spark, tmp_path_factory, seed, segment_size, disorder, dup_pct, evolve
+    spark, tmp_path_factory, seed, segment_size, disorder, dup_pct, evolve, patch_pct
 ):
     """Property: for ANY generator parameterization — batch boundary
     placement, intra-segment disorder, duplicate re-emission rate,
-    schema evolution on/off — the engine's final state equals the
-    sequential oracle. Batch boundaries are an artifact of the
-    transport, so the result must be invariant to them; this is the
-    exactly-once + max-LSN-resolution contract quantified over the
-    input space rather than at hand-picked points."""
+    schema evolution on/off, partial-image patch rate — the engine's
+    final state equals the sequential oracle. Batch boundaries are an
+    artifact of the transport, so the result must be invariant to
+    them; this is the exactly-once + max-LSN-resolution (and, with
+    patches, order-sensitive fold) contract quantified over the input
+    space rather than at hand-picked points."""
     tmp_path = tmp_path_factory.mktemp("prop")
     g = GenConfig(
         n_convs=4,
@@ -204,9 +207,11 @@ def test_replay_equivalence_property(
         segment_size=segment_size,
         seed=seed,
         schema_op_fracs=(0.3, 0.7) if evolve else (),
+        patch_rate=patch_pct / 100.0,
     )
     base = gen_base(g)
     ops = gen_schema_ops(g)
     binlog = gen_binlog(g, base, ops)
-    cfg = run_engine_batches(spark, tmp_path, g, ops, base, binlog)
+    cfg_kw = dict(write_mode="cow", patch_ops=True) if patch_pct else {}
+    cfg = run_engine_batches(spark, tmp_path, g, ops, base, binlog, **cfg_kw)
     assert_frames_equal(final_state(spark, cfg), replay_oracle(base, binlog, ops))
