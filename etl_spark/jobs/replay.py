@@ -35,6 +35,7 @@ def ensure_corpus(
     n_events: int,
     segment_size: int,
     zipf_alpha: float = 1.2,
+    patch_rate: float = 0.0,
 ):
     """Generate (or reuse) the deterministic binlog corpus.
     `zipf_alpha` > ~2 makes a handful of conversations carry most of
@@ -46,6 +47,8 @@ def ensure_corpus(
     tag = f"seed{seed}_n{n_events}_seg{segment_size}"
     if zipf_alpha != 1.2:
         tag += f"_z{zipf_alpha}"
+    if patch_rate:
+        tag += f"_pr{patch_rate}"
     root = os.path.join(work_dir, f"corpus_{tag}")
     seg_dir = os.path.join(root, "segments")
     base_path = os.path.join(root, "base.parquet")
@@ -59,6 +62,7 @@ def ensure_corpus(
         disorder_window=16,
         schema_op_fracs=(0.25, 0.5, 0.75),
         zipf_alpha=zipf_alpha,
+        patch_rate=patch_rate,
     )
     if not os.path.exists(os.path.join(root, "_DONE")):
         shutil.rmtree(root, ignore_errors=True)
@@ -86,8 +90,10 @@ def run(args) -> dict:
 
     zipf = getattr(args, "zipf_alpha", 1.2)
     salt = getattr(args, "salt_buckets", 0)
+    patch_rate = getattr(args, "patch_rate", 0.0)
     seg_dir, base_path, ops = ensure_corpus(
-        args.work_dir, args.seed, args.n_events, args.segment_size, zipf
+        args.work_dir, args.seed, args.n_events, args.segment_size, zipf,
+        patch_rate,
     )
 
     run_dir = os.path.join(args.work_dir, f"run_p{args.parallelism}")
@@ -99,6 +105,10 @@ def run(args) -> dict:
         num_buckets=args.num_buckets,
         max_files_per_trigger=args.max_files_per_trigger,
         salt_buckets=salt,
+        # partial-image corpora fold patches in the resolve and
+        # coalesce per column in the MERGE (CoW required)
+        patch_ops=bool(patch_rate),
+        write_mode="cow" if patch_rate else "mor",
     )
     spark = get_spark(
         f"cdc_replay_p{args.parallelism}",
@@ -171,6 +181,9 @@ def main() -> None:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--zipf-alpha", type=float, default=1.2)
     p.add_argument("--salt-buckets", type=int, default=0)
+    p.add_argument("--patch-rate", type=float, default=0.0,
+                   help="fraction of updates emitted as partial-image "
+                        "op='P' patches (engine runs patch_ops + CoW)")
     p.add_argument(
         "--stop-session", action=argparse.BooleanOptionalAction, default=True
     )
