@@ -40,6 +40,12 @@ def main() -> None:
         "(0 = no retention pass)",
     )
     p.add_argument(
+        "--tombstone-grace-lsns", type=int, default=None,
+        help="also purge delete tombstones older than "
+        "covered_max_lsn - GRACE (Cassandra gc_grace analog); GRACE "
+        "must exceed the source's worst-case re-delivery lag in LSNs",
+    )
+    p.add_argument(
         "--no-vacuum", action="store_true",
         help="with --expire-keep-last: drop old manifests but keep "
         "unreferenced data files on disk",
@@ -56,7 +62,10 @@ def main() -> None:
     table = LakeTable(spark, args.table_root)
     before = table.manifest()
     files_before = len(before.files)
-    version = table.compact(args.max_files_per_bucket)
+    version = table.compact(
+        args.max_files_per_bucket,
+        tombstone_grace_lsns=args.tombstone_grace_lsns,
+    )
     after = table.manifest()
     out = {
         "job": "lake_compact",

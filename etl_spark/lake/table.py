@@ -1155,14 +1155,55 @@ class LakeTable:
                     os.rmdir(root)
         return stats
 
-    def compact(self, max_files_per_bucket: int = 1) -> int:
+    def covered_max_lsn(self, m: Manifest | None = None) -> int:
+        """Highest LSN any committed batch covered (0 if none) — the
+        log horizon the ledger proves applied. Driver-side manifest
+        read, no job."""
+        m = m or self.manifest()
+        return max(
+            (
+                int(st["max_lsn"])
+                for st in m.committed_batches.values()
+                if st and "max_lsn" in st
+            ),
+            default=0,
+        )
+
+    def compact(
+        self, max_files_per_bucket: int = 1, tombstone_grace_lsns: int | None = None
+    ) -> int:
         """Rewrite buckets whose live-file count exceeds the bound.
-        At 10^10-row scale this runs as a periodic maintenance job."""
+        At 10^10-row scale this runs as a periodic maintenance job.
+
+        `tombstone_grace_lsns` additionally GARBAGE-COLLECTS delete
+        tombstones older than `covered_max_lsn() - grace` from the
+        rewritten buckets (the Cassandra gc_grace / Iceberg
+        delete-file-retention analog). Tombstones exist to fence
+        later-arriving STALE events (lower LSN) off dead keys; on a
+        delete-heavy stream they otherwise accumulate forever — at
+        10^10 events the dead keys dominate the table. The grace
+        window is the operator's re-delivery bound: a source that can
+        re-deliver an event at most L LSNs late is safe with grace
+        >= L (the engine's own generator pins re-delivery inside a
+        segment, so grace = segment length suffices there; Kafka-form
+        sources get retention-window-sized grace). A stale event
+        older than the purged tombstone would re-insert a dead key —
+        that is the documented contract violation this knob trades
+        against unbounded tombstone growth, exactly as in Cassandra.
+        Purging is maintenance (logical state of LIVE rows unchanged),
+        so the change feed still skips these commits."""
         m = self.manifest()
         per_bucket: dict[int, int] = {}
         for f in m.files:
             per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+        purge_below = None
+        if tombstone_grace_lsns is not None:
+            purge_below = max(0, self.covered_max_lsn(m) - int(tombstone_grace_lsns))
         todo = [b for b, n in per_bucket.items() if n > max_files_per_bucket]
+        if purge_below:
+            # tombstone GC must visit every bucket holding old tombstones;
+            # compact everything with >0 files (still bucket-local work)
+            todo = sorted(per_bucket)
         if not todo:
             return m.version
         df = self.read_raw(buckets=todo)
@@ -1170,6 +1211,9 @@ class LakeTable:
             # collapse delta versions; tombstone winners are KEPT so
             # later-arriving stale events with lower LSN stay dead
             df = self._resolve_versions(df, m)
+        if purge_below:
+            is_dead = F.coalesce(F.col(SYS_DELETED), F.lit(False))
+            df = df.filter(~(is_dead & (F.col(SYS_LSN) < F.lit(purge_below))))
         df = df.withColumn(BUCKET_COL, self.bucket_expr(m))
         # version-stamped maintenance marker: this commit reorganizes
         # files without changing logical state, so the change feed can

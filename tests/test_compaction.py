@@ -78,3 +78,92 @@ def test_explicit_compact_after_replay(spark, tmp_path):
     for f in m.files:
         per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
     assert max(per_bucket.values()) <= 1
+
+
+def test_tombstone_gc_with_grace(spark, tmp_path):
+    """compact(tombstone_grace_lsns=G) purges delete tombstones older
+    than covered_max_lsn - G, keeps younger ones (still inside the
+    re-delivery window), never touches live rows, and commits as
+    maintenance (the change feed skips it)."""
+    g = GenConfig(
+        n_convs=6, n_events=150, dup_rate=0.0, disorder_window=4,
+        segment_size=30, p_insert=0.3, p_update=0.3, p_delete=0.4,
+    )
+    base, ops = gen_base(g), gen_schema_ops(g)
+    binlog = gen_binlog(g, base, ops)
+    cfg = EngineConfig(
+        table_root=str(tmp_path / "tbl"), manifest_dir=str(tmp_path / "m"),
+        checkpoint_dir=str(tmp_path / "c"), num_buckets=4,
+    )
+    bootstrap(spark, cfg, base)
+    _apply_all(spark, cfg, ops, binlog)
+    table = LakeTable(spark, cfg.table_root)
+    oracle = replay_oracle(base, binlog, ops)
+
+    horizon = table.covered_max_lsn()
+    assert horizon == g.n_events
+    raw = table.compact(max_files_per_bucket=1)  # collapse deltas first
+    dead = (
+        table.read_raw()
+        .filter(F.coalesce(F.col("_deleted"), F.lit(False)))
+        .select("_lsn")
+        .toPandas()["_lsn"]
+    )
+    assert len(dead) > 5, "need tombstones to GC"
+    grace = 60
+    purge_below = horizon - grace
+    n_old = int((dead < purge_below).sum())
+    n_young = int((dead >= purge_below).sum())
+    assert n_old > 0 and n_young > 0, (n_old, n_young)
+
+    v0 = table.current_version()
+    table.compact(max_files_per_bucket=1, tombstone_grace_lsns=grace)
+    dead_after = (
+        table.read_raw()
+        .filter(F.coalesce(F.col("_deleted"), F.lit(False)))
+        .select("_lsn")
+        .toPandas()["_lsn"]
+    )
+    assert len(dead_after) == n_young
+    assert (dead_after >= purge_below).all()
+    # live state untouched
+    assert_frames_equal(final_state(spark, cfg), oracle)
+    # maintenance commit: the change feed emits nothing for it
+    from etl_spark.lake.changes import read_changes
+
+    feed = read_changes(table, from_version=v0, to_version=table.current_version())
+    assert feed.count() == 0
+
+    # the documented contract trade: a stale event OLDER than the
+    # purged tombstone (beyond the grace window) would resurrect the
+    # dead key — the reason grace must exceed the source's worst-case
+    # re-delivery lag. Find a purged key and replay a fabricated
+    # ancient update for it.
+    import pandas as pd
+
+    purged = sorted(set(dead) - set(dead_after))
+    assert purged
+    # recover a (conv_id, turn_idx) whose tombstone was purged: replay
+    # the oracle's delete history
+    from etl_spark.lake.merge import merge_into
+
+    dead_keys = {}
+    for r in binlog.drop_duplicates(subset=["lsn"]).sort_values("lsn").itertuples():
+        if r.op == "D":
+            dead_keys[(r.conv_id, int(r.turn_idx))] = int(r.lsn)
+        elif (r.conv_id, int(r.turn_idx)) in dead_keys:
+            dead_keys.pop((r.conv_id, int(r.turn_idx)))
+    victim = next(
+        (k for k, lsn in dead_keys.items() if lsn < purge_below), None
+    )
+    assert victim is not None
+    stale = spark.createDataFrame(
+        [(victim[0], victim[1], "user", "zombie", None, 1, "U", 1)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts long, op string, lsn long",
+    )
+    merge_into(table, stale, batch_key="stale-after-gc")
+    zombie = final_state(spark, cfg).filter(
+        (F.col("conv_id") == victim[0]) & (F.col("turn_idx") == victim[1])
+    )
+    assert zombie.count() == 1  # resurrection — the documented hazard
