@@ -21,7 +21,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def run_level(
     work_dir: str, n_events: int, parallelism: int,
     segment_size: int = 200_000, mft: int = 20,
-    zipf: float = 1.2, salt: int = 0,
+    zipf: float = 1.2, salt: int = 0, patch_rate: float = 0.0,
 ) -> dict:
     # Pin the WHOLE process (JVM task threads + GC + IO + Python
     # workers) to exactly `parallelism` cores: local[N] alone still
@@ -41,6 +41,7 @@ def run_level(
             "--parallelism", str(parallelism),
             "--zipf-alpha", str(zipf),
             "--salt-buckets", str(salt),
+            "--patch-rate", str(patch_rate),
         ],
         cwd=REPO,
         capture_output=True,
@@ -62,6 +63,9 @@ def main() -> None:
     # doesn't overwrite the headline BENCH.md section.
     zipf = float(os.environ.get("SPARK_GRAFT_ZIPF", "1.2"))
     salt = int(os.environ.get("SPARK_GRAFT_SALT", "0"))
+    # partial-image evidence: SPARK_GRAFT_PATCH=0.3 emits 30% of
+    # updates as op='P' patches (engine runs the patch fold + CoW)
+    patch_rate = float(os.environ.get("SPARK_GRAFT_PATCH", "0"))
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     # The sandbox host is virtualized with hypervisor CPU-steal spikes
@@ -73,8 +77,10 @@ def main() -> None:
     # full per-pair spread is printed and recorded in BENCH.md.
     pairs = []
     for _ in range(repeats):
-        lo = run_level(work_dir, n_events, p_lo, zipf=zipf, salt=salt)
-        hi = run_level(work_dir, n_events, p_hi, zipf=zipf, salt=salt)
+        lo = run_level(work_dir, n_events, p_lo, zipf=zipf, salt=salt,
+                       patch_rate=patch_rate)
+        hi = run_level(work_dir, n_events, p_hi, zipf=zipf, salt=salt,
+                       patch_rate=patch_rate)
         print(json.dumps(lo))
         print(json.dumps(hi))
         pairs.append((lo, hi))
