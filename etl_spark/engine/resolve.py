@@ -22,6 +22,54 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _lineage_count_aggs(
+    lsn_col: str,
+    with_counts: bool,
+    covered_lsn_ranges: list[tuple[int, int]] | None,
+) -> list:
+    """Per-key lineage tallies that ride the resolve aggregation
+    (shared by the full-image and patch resolvers): `_nev` raw events,
+    `_nlsn` distinct LSNs, and — given the prior batches' covered
+    [lo, hi] LSN intervals — `_nnew` distinct LSNs OUTSIDE all of
+    them, which counts each log event exactly once across the replay
+    even under at-least-once re-delivery and out-of-LSN-order batch
+    arrival. collect_set state is bounded by events-per-key within one
+    micro-batch; LSNs are unique per event, so per-key sets are
+    disjoint across keys and across salt groups."""
+    if not with_counts:
+        return []
+    aggs = [
+        F.count("*").alias("_nev"),
+        F.size(F.collect_set(F.col(lsn_col))).alias("_nlsn"),
+    ]
+    if covered_lsn_ranges is not None:
+        covered = F.lit(False)
+        for lo, hi in covered_lsn_ranges:
+            covered = covered | (
+                (F.col(lsn_col) >= F.lit(int(lo)))
+                & (F.col(lsn_col) <= F.lit(int(hi)))
+            )
+        # collect_set skips nulls, so this is distinct-outside-coverage
+        aggs.append(
+            F.size(F.collect_set(F.when(~covered, F.col(lsn_col)))).alias("_nnew")
+        )
+    return aggs
+
+
+def _lineage_final_sums(
+    with_counts: bool, covered_lsn_ranges: list[tuple[int, int]] | None
+) -> list:
+    """Phase-2 recombination of `_lineage_count_aggs` under the salted
+    two-phase layout: a given LSN lands in exactly one hash(lsn) salt
+    group, so per-group distinct counts SUM exactly."""
+    if not with_counts:
+        return []
+    aggs = [F.sum("_nev").alias("_nev"), F.sum("_nlsn").alias("_nlsn")]
+    if covered_lsn_ranges is not None:
+        aggs.append(F.sum("_nnew").cast("int").alias("_nnew"))
+    return aggs
+
+
 def resolve_max_lsn(
     df: DataFrame,
     key: list[str],
@@ -59,26 +107,7 @@ def resolve_max_lsn(
     packed = F.struct(*[F.col(c) for c in others]).alias("_row")
 
     def _count_aggs():
-        if not with_counts:
-            return []
-        aggs = [
-            F.count("*").alias("_nev"),
-            F.size(F.collect_set(F.col(lsn_col))).alias("_nlsn"),
-        ]
-        if covered_lsn_ranges is not None:
-            covered = F.lit(False)
-            for lo, hi in covered_lsn_ranges:
-                covered = covered | (
-                    (F.col(lsn_col) >= F.lit(int(lo)))
-                    & (F.col(lsn_col) <= F.lit(int(hi)))
-                )
-            # collect_set skips nulls, so this is distinct-outside-coverage
-            aggs.append(
-                F.size(
-                    F.collect_set(F.when(~covered, F.col(lsn_col)))
-                ).alias("_nnew")
-            )
-        return aggs
+        return _lineage_count_aggs(lsn_col, with_counts, covered_lsn_ranges)
 
     if salt_buckets and salt_buckets > 1:
         # phase 1: reduce within (key, salt) groups; phase 2: final.
@@ -94,15 +123,7 @@ def resolve_max_lsn(
                  *_count_aggs())
         )
         final_aggs = [F.max_by(F.col("_row"), F.col("_max_lsn")).alias("_row")]
-        if with_counts:
-            final_aggs += [
-                F.sum("_nev").alias("_nev"),
-                F.sum("_nlsn").alias("_nlsn"),
-            ]
-            if covered_lsn_ranges is not None:
-                # a given LSN lands in exactly one salt group, so the
-                # per-group distinct-outside-coverage counts sum exactly
-                final_aggs.append(F.sum("_nnew").cast("int").alias("_nnew"))
+        final_aggs += _lineage_final_sums(with_counts, covered_lsn_ranges)
         final = part.groupBy(*key).agg(*final_aggs)
     else:
         final = df.groupBy(*key).agg(
@@ -191,23 +212,7 @@ def resolve_patch_fold(
         return aggs
 
     def _count_aggs():
-        if not with_counts:
-            return []
-        aggs = [
-            F.count("*").alias("_nev"),
-            F.size(F.collect_set(F.col(lsn_col))).alias("_nlsn"),
-        ]
-        if covered_lsn_ranges is not None:
-            covered = F.lit(False)
-            for lo, hi in covered_lsn_ranges:
-                covered = covered | (
-                    (F.col(lsn_col) >= F.lit(int(lo)))
-                    & (F.col(lsn_col) <= F.lit(int(hi)))
-                )
-            aggs.append(
-                F.size(F.collect_set(F.when(~covered, F.col(lsn_col)))).alias("_nnew")
-            )
-        return aggs
+        return _lineage_count_aggs(lsn_col, with_counts, covered_lsn_ranges)
 
     if salt_buckets and salt_buckets > 1:
         # two-phase: struct-max is associative, so per-(key, salt)
@@ -222,10 +227,7 @@ def resolve_patch_fold(
         )
         final_aggs = [F.max("_b").alias("_b"), F.max("_max_lsn").alias("_max_lsn")]
         final_aggs += [F.max(f"_f_{c}").alias(f"_f_{c}") for c in payload]
-        if with_counts:
-            final_aggs += [F.sum("_nev").alias("_nev"), F.sum("_nlsn").alias("_nlsn")]
-            if covered_lsn_ranges is not None:
-                final_aggs.append(F.sum("_nnew").cast("int").alias("_nnew"))
+        final_aggs += _lineage_final_sums(with_counts, covered_lsn_ranges)
         final = part.groupBy(*key).agg(*final_aggs)
     else:
         final = df.groupBy(*key).agg(

@@ -24,7 +24,6 @@ import json
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--table-root", required=True)
-    p.add_argument("--parallelism", type=int, default=4)
     p.add_argument("action", choices=["create", "publish", "drop", "list"])
     p.add_argument("branch", nargs="?")
     args = p.parse_args()
@@ -32,12 +31,11 @@ def main() -> None:
         p.error(f"{args.action} requires a branch name")
 
     from etl_spark.lake.table import LakeTable
-    from etl_spark.session import get_spark
 
-    spark = get_spark(
-        "wap", parallelism=args.parallelism, shuffle_partitions=args.parallelism
-    )
-    table = LakeTable(spark, args.table_root)
+    # every branch operation is driver-side manifest metadata (copies,
+    # O_EXCL creates, atomic renames) — no Spark session, so publish
+    # between audit and unblocking main readers is near-instant
+    table = LakeTable(None, args.table_root)
     if args.action == "create":
         table.create_branch(args.branch)
         out = {"job": "wap", "action": "create", "branch": args.branch,
@@ -63,7 +61,6 @@ def main() -> None:
             ],
         }
     print(json.dumps(out))
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -71,6 +71,7 @@ def _commit_changes(
     m_new = table.manifest(v)
     if m_new.props.get("maintenance_commit") == v:
         return None
+    is_erase = m_new.props.get("erase_commit") == v
     m_old = table.manifest(v - 1)
     new_paths = {f.path for f in m_new.files}
     old_paths = {f.path for f in m_old.files}
@@ -135,15 +136,19 @@ def _commit_changes(
         # pre-image/delete carry the OLD values (tombstone payloads are
         # null); the delete's LSN is the tombstone's (the change event),
         # falling back to the old row's if the row was physically
-        # dropped rather than tombstoned. No `newer` guard here: a
-        # live->dead transition is a state change even at EQUAL LSN —
-        # an out-of-band erase (`LakeTable.erase_where`) tombstones
-        # while keeping the row's own LSN so future higher-LSN events
-        # stay applicable, and a rollback can drop a row entirely.
-        # Carried-over copies are both-sides-live (or both-dead) and
-        # never hit this branch.
-        change(o_live & ~n_live, DELETE, "_o",
-               F.coalesce(n_lsn, o_lsn)),
+        # dropped rather than tombstoned. Erase commits
+        # (`LakeTable.erase_where`) waive the `newer` guard: they
+        # tombstone while KEEPING the row's own LSN — so future
+        # higher-LSN events stay applicable — and that equal-LSN
+        # live->dead transition must still reach downstream as a
+        # delete. Everywhere else the guard stands: a rollback commit
+        # in the window stays silent (restored rows carry OLDER LSNs;
+        # presenting them as new changes would corrupt consumers —
+        # rollback() documents the required downstream resync).
+        change(
+            o_live & ~n_live & (newer | F.lit(is_erase)), DELETE, "_o",
+            F.coalesce(n_lsn, o_lsn),
+        ),
     ]
     if include_pre_images:
         candidates.insert(

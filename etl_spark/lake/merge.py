@@ -130,6 +130,17 @@ def merge_into(
         take_src = F.col("_s_lsn").isNotNull() & (
             F.col(SYS_LSN).isNull() | (F.col("_s_lsn") > F.col(SYS_LSN))
         )
+        if set_flags:
+            # A patch-only change set (op='P', no full image in the
+            # batch) cannot apply onto a DEAD key: its base image was
+            # deleted or erased, and coalescing the unset columns from
+            # a tombstone would fabricate a mostly-NULL live row —
+            # the erase/patch interaction hazard. The key stays dead;
+            # only a full image (higher-LSN I/U) resurrects it. The
+            # tombstone's LSN is intentionally NOT advanced: dropping
+            # the patch must not fence off the full image that follows.
+            tgt_dead = F.coalesce(F.col(SYS_DELETED), F.lit(False))
+            take_src = take_src & ~((F.col("_s_op") == F.lit("P")) & tgt_dead)
         is_del = F.col("_s_op") == F.lit("D")
 
         out_cols = []

@@ -405,6 +405,22 @@ class LakeTable:
             df = df.drop(SYS_LSN, SYS_DELETED)
         return df
 
+    def _buckets_for_values(self, m: Manifest, values: list) -> list[int]:
+        """Bucket ids the given `bucket_by` values hash into, computed
+        with the SAME JVM expression the writer used (`bucket_expr`,
+        xxhash64 — never re-implemented driver-side, where a hash
+        mismatch would silently target the wrong buckets). One job
+        over |values| literal rows, <= num_buckets ints back."""
+        fld = next(f for f in m.schema.fields if f.name == m.bucket_by)
+        lit_df = self.spark.createDataFrame(
+            [(v,) for v in values],
+            T.StructType([T.StructField(m.bucket_by, spark_type(fld.type))]),
+        )
+        return sorted(
+            r[0]
+            for r in lit_df.select(self.bucket_expr(m).alias("b")).distinct().collect()
+        )
+
     def lookup(self, values: list, version: int | None = None) -> DataFrame:
         """Point/point-set lookup with manifest bucket pruning
         (Iceberg's bucket-transform partition pruning analog): scan
@@ -414,23 +430,13 @@ class LakeTable:
         of all of them — the difference between a point query and a
         full scan.
 
-        The bucket ids are computed with the SAME JVM expression the
-        writer used (`bucket_expr`, xxhash64 — not re-implemented
-        driver-side where a hash mismatch would silently return empty
-        results), via one job over |values| literal rows transferring
-        <= num_buckets ints back."""
+        Bucket ids come from `_buckets_for_values` (the writer's own
+        JVM hash expression), one job over |values| literal rows
+        transferring <= num_buckets ints back."""
         m = self.manifest(version)
         if not values:
             return self.read(buckets=[], version=version)
-        fld = next(f for f in m.schema.fields if f.name == m.bucket_by)
-        lit_df = self.spark.createDataFrame(
-            [(v,) for v in values],
-            T.StructType([T.StructField(m.bucket_by, spark_type(fld.type))]),
-        )
-        buckets = [
-            r[0]
-            for r in lit_df.select(self.bucket_expr(m).alias("b")).distinct().collect()
-        ]
+        buckets = self._buckets_for_values(m, values)
         return self.read(buckets=buckets, version=version).filter(
             F.col(m.bucket_by).isin(values)
         )
@@ -996,8 +1002,13 @@ class LakeTable:
         payload columns nulled, key and `_lsn` kept, `_deleted` set —
         rather than being physically dropped, so a late stale change
         event (lower LSN) can never resurrect erased content through
-        the MERGE guard. The content itself is gone from the new files;
-        run `expire_snapshots` to age out the pre-erase snapshots that
+        the MERGE guard. A later legitimate FULL image (higher-LSN
+        I/U) re-creates the key; a later PARTIAL image (op='P' patch)
+        does NOT — its base image was erased, so coalescing from the
+        tombstone would fabricate a mostly-NULL row; the merge keeps
+        the key dead until a full image arrives (lake/merge.py). The
+        content itself is gone from the new files; run
+        `expire_snapshots` to age out the pre-erase snapshots that
         still hold it, completing the physical erasure.
 
         Cost: one slim job to find the touched buckets (bounded driver
@@ -1033,15 +1044,7 @@ class LakeTable:
             return m.version
         if not values:
             return m.version
-        fld = next(f for f in m.schema.fields if f.name == m.bucket_by)
-        lit_df = self.spark.createDataFrame(
-            [(v,) for v in values],
-            T.StructType([T.StructField(m.bucket_by, spark_type(fld.type))]),
-        )
-        touched = sorted(
-            r[0]
-            for r in lit_df.select(self.bucket_expr(m).alias("b")).distinct().collect()
-        )
+        touched = self._buckets_for_values(m, values)
         return self._erase_buckets(
             m, F.col(m.bucket_by).isin(values), touched, batch_key
         )
@@ -1201,9 +1204,26 @@ class LakeTable:
             purge_below = max(0, self.covered_max_lsn(m) - int(tombstone_grace_lsns))
         todo = [b for b, n in per_bucket.items() if n > max_files_per_bucket]
         if purge_below:
-            # tombstone GC must visit every bucket holding old tombstones;
-            # compact everything with >0 files (still bucket-local work)
-            todo = sorted(per_bucket)
+            # tombstone GC visits exactly the buckets holding a
+            # qualifying tombstone: one column-pruned scan of
+            # (bucket_by, _lsn, _deleted) collapsing to <= num_buckets
+            # ids — O(metadata columns) discovery instead of an
+            # O(table) unconditional rewrite per maintenance run.
+            # (Under MoR a raw tombstone may be superseded by a later
+            # full image; its bucket then rewrites without purging —
+            # harmless extra work, never a semantic change.)
+            qualifying = [
+                r[0]
+                for r in self.read_raw()
+                .filter(
+                    F.coalesce(F.col(SYS_DELETED), F.lit(False))
+                    & (F.col(SYS_LSN) < F.lit(purge_below))
+                )
+                .select(self.bucket_expr(m).alias("b"))
+                .distinct()
+                .collect()
+            ]
+            todo = sorted(set(todo) | set(qualifying))
         if not todo:
             return m.version
         df = self.read_raw(buckets=todo)

@@ -135,3 +135,60 @@ def test_erase_under_mor_resolves_then_tombstones(spark, tmp_path):
     left = table.read()
     assert left.filter(F.col("conv_id") == victim).count() == 0
     assert left.count() == len(oracle) - n_victim
+
+
+def test_patch_on_erased_key_stays_dead_until_full_image(spark, tmp_path):
+    """Erase/patch interaction: a partial image whose base was erased
+    must NOT resurrect the key as a mostly-NULL row (its unset columns
+    would coalesce from the nulled tombstone); only a later FULL image
+    re-creates it. The tombstone's LSN is not advanced by the dropped
+    patch, so the full image still applies."""
+    g, base, ops, binlog, table = _replayed_table(spark, tmp_path, write_mode="cow")
+    oracle = replay_oracle(base, binlog, ops)
+    victim = oracle["conv_id"].iloc[0]
+    vrow = oracle[oracle["conv_id"] == victim].iloc[0]
+    turn = int(vrow["turn_idx"])
+    table.erase_keys([victim], batch_key="erase:px")
+    max_lsn = int(binlog["lsn"].max())
+
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool_name string, ts timestamp, lang string, op string, lsn long, "
+        "_set_role boolean, _set_text boolean, _set_tool_name boolean, "
+        "_set_ts boolean, _set_lang boolean"
+    )
+    patch = spark.createDataFrame(
+        [(victim, turn, None, "patched-after-erase", None, None, None,
+          "P", max_lsn + 1, False, True, False, False, False)],
+        schema,
+    )
+    merge_into(table, patch, batch_key="patch-after-erase")
+    assert table.read().filter(F.col("conv_id") == victim).count() == 0
+
+    full = spark.createDataFrame(
+        [(victim, turn, "user", "fresh full image", None, None, "en",
+          "U", max_lsn + 2, True, True, True, True, True)],
+        schema,
+    )
+    merge_into(table, full, batch_key="full-after-erase")
+    rows = table.read().filter(
+        (F.col("conv_id") == victim) & (F.col("turn_idx") == turn)
+    ).collect()
+    assert len(rows) == 1 and rows[0]["text"] == "fresh full image"
+    assert rows[0]["role"] == "user"  # full image, not tombstone coalesce
+
+
+def test_rollback_commit_stays_silent_in_feed(spark, tmp_path):
+    """Regression: the erase-aware delete rule must not leak rollback
+    commits into the change feed — rollback() documents feed silence
+    (restored rows carry OLDER LSNs; downstream needs a resync, not a
+    half-rollback of deletes)."""
+    g, base, ops, binlog, table = _replayed_table(spark, tmp_path)
+    v_head = table.current_version()
+    # find a pre-head version that differs in live keys (mid-replay)
+    v_mid = max(1, v_head - 2)
+    table.rollback(v_mid)
+    from etl_spark.lake.changes import read_changes
+
+    feed = read_changes(table, from_version=v_head, to_version=table.current_version())
+    assert feed.count() == 0
