@@ -175,6 +175,14 @@ def merge_into(
             batch_key=batch_key,
             batch_stats=batch_stats,
             bucket_counts=bucket_counts,
+            # optimistic concurrency: this rewrite was computed from
+            # `m`; if out-of-band maintenance (erase) advanced the
+            # table meanwhile, committing would resurrect pre-erase
+            # rows carried over from the stale target scan. Raise
+            # CommitConflict instead — the streaming engine fails the
+            # batch and the checkpoint replay re-plans it against the
+            # fresh snapshot (idempotent via the ledger).
+            expected_version=m.version,
         )
     finally:
         if not already_cached:

@@ -46,6 +46,18 @@ SYS_LSN = "_lsn"
 SYS_DELETED = "_deleted"
 BUCKET_COL = "_bucket"
 
+
+class CommitConflict(RuntimeError):
+    """Optimistic-concurrency failure: the table advanced past the
+    snapshot a bucket rewrite was computed from (Iceberg commit-
+    conflict analog). The O_EXCL manifest create alone only catches a
+    race in the final instant; this check catches the WIDE window — a
+    competing commit landing during the expensive read+rewrite —
+    which would otherwise silently overwrite the winner's rows in the
+    replaced buckets (lost update). Callers retry from the fresh
+    snapshot (erase), skip the cycle (compaction), or let the
+    streaming engine replay the batch (merge)."""
+
 _TYPE_MAP: dict[str, T.DataType] = {
     "string": T.StringType(),
     "int": T.IntegerType(),
@@ -534,40 +546,92 @@ class LakeTable:
         batch_stats: dict | None = None,
         props_update: dict | None = None,
         bucket_counts: dict[int, int] | None = None,
+        expected_version: int | None = None,
     ) -> int:
         """Copy-on-write commit: replace `replaced_buckets` with the
         contents of `df` (which must carry BUCKET_COL, system columns,
         and only rows belonging to those buckets). Files in untouched
         buckets carry over untouched. `bucket_counts` (optional)
         engages the write-skew guard in `_stage_dataframe`. Returns the
-        new version."""
+        new version.
+
+        `expected_version` (optimistic concurrency): the snapshot the
+        replacement content was computed from. If the table advanced
+        past it, committing would silently drop the winner's rows in
+        the replaced buckets — raise `CommitConflict` instead."""
         m = self.manifest()
         if batch_key is not None and batch_key in m.committed_batches:
             return m.version  # idempotent replay of a committed batch
-        new_version = m.version + 1
-        staged = self._stage_dataframe(df, m, new_version, bucket_counts=bucket_counts)
+        if expected_version is not None and m.version != expected_version:
+            # Iceberg-style conflict resolution: if every intervening
+            # commit is maintenance (compaction/rebucket/tombstone GC —
+            # logical state of live rows unchanged), the rewrite is
+            # still valid against the fresh file list (`keep` below is
+            # taken from the CURRENT manifest), so proceed. A purged
+            # tombstone re-staged by the stale rewrite is harmless
+            # (still dead; re-purged next GC). Any non-maintenance
+            # winner (merge, erase, schema) conflicts for real.
+            try:
+                only_maintenance = all(
+                    self.manifest(v).props.get("maintenance_commit") == v
+                    for v in range(expected_version + 1, m.version + 1)
+                )
+            except FileNotFoundError:
+                only_maintenance = False
+            if not only_maintenance:
+                raise CommitConflict(
+                    f"table advanced to v{m.version}; rewrite was computed "
+                    f"from v{expected_version}"
+                )
+        staged = self._stage_dataframe(df, m, m.version + 1, bucket_counts=bucket_counts)
         replaced = set(replaced_buckets)
         bad = [f for f in staged if f.bucket not in replaced]
         if bad:
             raise ValueError(f"staged rows outside replaced buckets: {bad[:3]}")
-        keep = [f for f in m.files if f.bucket not in replaced]
-        batches = dict(m.committed_batches)
-        if batch_key is not None:
-            batches[batch_key] = batch_stats or {}
-        m2 = Manifest(
-            version=new_version,
-            num_buckets=m.num_buckets,
-            key=m.key,
-            bucket_by=m.bucket_by,
-            schema=m.schema,
-            schemas=m.schemas,
-            files=keep + staged,
-            committed_batches=batches,
-            parent=m.version,
-            props={**m.props, **(props_update or {})},
-        )
-        self._commit_manifest(m2)
-        return new_version
+        # Commit loop: the O_EXCL create loses to a racer that lands
+        # between staging and commit (the NARROW window the
+        # expected_version check above cannot see). Same resolution
+        # rule: a maintenance-only winner is rebased over (fresh file
+        # keep-list, staged content unchanged — logically identical
+        # rows); anything else is a real CommitConflict.
+        base_version = m.version
+        cur = m
+        while True:
+            keep = [f for f in cur.files if f.bucket not in replaced]
+            batches = dict(cur.committed_batches)
+            if batch_key is not None:
+                batches[batch_key] = batch_stats or {}
+            m2 = Manifest(
+                version=cur.version + 1,
+                num_buckets=cur.num_buckets,
+                key=cur.key,
+                bucket_by=cur.bucket_by,
+                schema=cur.schema,
+                schemas=cur.schemas,
+                files=keep + staged,
+                committed_batches=batches,
+                parent=cur.version,
+                props={**cur.props, **(props_update or {})},
+            )
+            try:
+                self._commit_manifest(m2)
+                return m2.version
+            except FileExistsError:
+                fresh = self.manifest()
+                try:
+                    only_maintenance = all(
+                        self.manifest(v).props.get("maintenance_commit") == v
+                        for v in range(base_version + 1, fresh.version + 1)
+                    )
+                except FileNotFoundError:
+                    only_maintenance = False
+                if not only_maintenance:
+                    raise CommitConflict(
+                        f"lost the commit race: table advanced to "
+                        f"v{fresh.version}; rewrite was computed from "
+                        f"v{base_version}"
+                    ) from None
+                cur = fresh
 
     def append_files(
         self,
@@ -1032,7 +1096,7 @@ class LakeTable:
         )
         if not touched:
             return m.version
-        return self._erase_buckets(m, cond, touched, batch_key)
+        return self._erase_with_retry(cond, touched, batch_key)
 
     def erase_keys(self, values: list, batch_key: str | None = None) -> int:
         """Erase all turns of the given `bucket_by` values (e.g. every
@@ -1045,9 +1109,31 @@ class LakeTable:
         if not values:
             return m.version
         touched = self._buckets_for_values(m, values)
-        return self._erase_buckets(
-            m, F.col(m.bucket_by).isin(values), touched, batch_key
+        return self._erase_with_retry(
+            F.col(m.bucket_by).isin(values), touched, batch_key
         )
+
+    def _erase_with_retry(
+        self, cond, touched: list[int], batch_key: str | None, attempts: int = 5
+    ) -> int:
+        """Optimistic-concurrency wrapper for erase commits racing a
+        live stream's merges: unlike compaction (advisory — skips a
+        lost cycle), an erase MUST land, so on an O_EXCL manifest
+        collision it re-reads the fresh manifest and re-runs the
+        bucket rewrite against it (the predicate and bucket set are
+        stable; the rewritten content is recomputed from the fresh
+        snapshot, so a merge that won the race is preserved). Bounded
+        retries, then the collision propagates."""
+        last: Exception | None = None
+        for _ in range(attempts):
+            m = self.manifest()
+            if batch_key is not None and batch_key in m.committed_batches:
+                return m.version
+            try:
+                return self._erase_buckets(m, cond, touched, batch_key)
+            except (FileExistsError, CommitConflict) as e:
+                last = e
+        raise last  # type: ignore[misc]
 
     def _erase_buckets(
         self, m: Manifest, cond, touched: list[int], batch_key: str | None
@@ -1072,6 +1158,7 @@ class LakeTable:
             touched,
             batch_key=batch_key,
             props_update={"erase_commit": m.version + 1},
+            expected_version=m.version,
         )
 
     def expire_snapshots(
@@ -1239,6 +1326,17 @@ class LakeTable:
         # files without changing logical state, so the change feed can
         # skip diffing it entirely (a stale inherited marker points at
         # an OLD version and never matches — no prop-stripping needed)
-        return self.overwrite_buckets(
-            df, todo, props_update={"maintenance_commit": m.version + 1}
-        )
+        try:
+            return self.overwrite_buckets(
+                df,
+                todo,
+                props_update={"maintenance_commit": m.version + 1},
+                expected_version=m.version,
+            )
+        except (FileExistsError, CommitConflict):
+            # lost the O_EXCL manifest race to a concurrent merge
+            # commit (out-of-band maintenance against a live stream).
+            # Compaction is advisory: skip this cycle — the staged
+            # files are unreferenced orphans the next vacuum reclaims,
+            # and the next cycle re-plans from the fresh manifest.
+            return self.current_version()
