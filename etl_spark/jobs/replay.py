@@ -108,7 +108,11 @@ def run(args) -> dict:
         # partial-image corpora fold patches in the resolve and
         # coalesce per column in the MERGE (CoW required)
         patch_ops=bool(patch_rate),
-        write_mode="cow" if patch_rate else "mor",
+        write_mode=(
+            getattr(args, "write_mode", "auto")
+            if getattr(args, "write_mode", "auto") != "auto"
+            else ("cow" if patch_rate else "mor")
+        ),
     )
     spark = get_spark(
         f"cdc_replay_p{args.parallelism}",
@@ -181,6 +185,9 @@ def main() -> None:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--zipf-alpha", type=float, default=1.2)
     p.add_argument("--salt-buckets", type=int, default=0)
+    p.add_argument("--write-mode", choices=["auto", "mor", "cow"], default="auto",
+                   help="lake write mode; auto = mor, or cow when "
+                        "--patch-rate > 0 (patch fold requires cow)")
     p.add_argument("--patch-rate", type=float, default=0.0,
                    help="fraction of updates emitted as partial-image "
                         "op='P' patches (engine runs patch_ops + CoW)")
