@@ -53,9 +53,11 @@ class EngineConfig:
     # whose payload holds only the changed columns plus a `_changed`
     # name mask (Debezium partial row image / MySQL binlog_row_image=
     # MINIMAL). The apply path folds patches over the latest full
-    # image per key (engine/resolve.py resolve_patch_fold) and the
-    # MERGE coalesces unset columns from the target row. Requires
-    # write_mode="cow" — the MoR read-time contest picks whole rows.
+    # image per key (engine/resolve.py resolve_patch_fold); the CoW
+    # MERGE coalesces unset columns from the target row, while MoR
+    # appends masked patch deltas folded at read/compaction
+    # (lake/table.py _resolve_versions patch fold) — O(batch) write
+    # cost for partial-update streams.
     patch_ops: bool = False
     # overlap batch N's lineage rollup with batch N+1's source read
     # (depth-1 commit pipelining; crash-safe — in-batch heal plus

@@ -487,9 +487,9 @@ def apply_batch(
         # partial-image fold: per key, the latest full image plus any
         # later patches' carried columns — one hash aggregation, same
         # shuffle shape and lineage counts as the full-image path
-        # (engine/resolve.py resolve_patch_fold). CoW only: the MoR
-        # read-time LSN contest picks whole delta rows and cannot
-        # coalesce per column (merge_into raises).
+        # (engine/resolve.py resolve_patch_fold). CoW coalesces unset
+        # columns from the target in the MERGE; MoR appends masked
+        # patch deltas folded at read/compaction.
         resolved = resolve_patch_fold(
             parsed.drop("op_ts"),
             list(spec.key),

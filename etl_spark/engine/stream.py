@@ -70,12 +70,6 @@ def run_replay(
     `available_now=True` = bounded replay (drain all segments, then
     stop); False = continuous tail. Resumable: offsets live in the
     checkpoint, applied state in the lake manifest ledger."""
-    if cfg.patch_ops and cfg.write_mode == "mor":
-        raise ValueError(
-            "patch_ops requires write_mode='cow': the MoR read-time "
-            "LSN contest picks whole delta rows and cannot coalesce "
-            "per column (see lake/merge.py)"
-        )
     # heal the async-lineage crash window (epoch committed, lineage
     # write lost) before the engine starts skipping committed batches
     reconcile_lineage(spark, cfg, ops, spec=spec)

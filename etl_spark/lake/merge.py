@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from etl_spark.lake.table import BUCKET_COL, SYS_DELETED, SYS_LSN, LakeTable
+from etl_spark.lake.table import BUCKET_COL, SYS_DELETED, SYS_LSN, SYS_PATCHED, LakeTable
 
 OP_COL = "op"
 LSN_COL = "lsn"
@@ -67,24 +67,44 @@ def merge_into(
     }
 
     if table.write_mode(m) == "mor":
-        if set_flags:
-            raise ValueError(
-                "merge_into: partial-image (_set_*) sources require "
-                "copy-on-write — the MoR read-time LSN contest picks "
-                "whole delta rows and cannot coalesce per column "
-                "(EngineConfig.patch_ops with write_mode='cow')"
-            )
         is_del = F.col(OP_COL) == F.lit("D")
-        delta = source.select(
-            *[F.col(k) for k in key],
-            *[
-                F.when(is_del, F.lit(None)).otherwise(F.col(c)).alias(c)
-                for c in payload_cols
-            ],
-            F.col(LSN_COL).alias(SYS_LSN),
-            is_del.alias(SYS_DELETED),
-        ).withColumn(BUCKET_COL, table.bucket_expr(m))
-        return table.append_files(delta, batch_key=batch_key, batch_stats=batch_stats)
+        cols = [F.col(k) for k in key] + [
+            F.when(is_del, F.lit(None)).otherwise(F.col(c)).alias(c)
+            for c in payload_cols
+        ]
+        props_update = None
+        if set_flags:
+            # partial-image deltas: a patch-only change set (op='P')
+            # lands as a delta row whose `_patched` mask names exactly
+            # the columns it assigns; full images (I/U/D) carry a NULL
+            # mask. The read path's patch fold (`_resolve_versions`,
+            # armed by the `patch_deltas` manifest prop) folds them
+            # over the latest full image per key at scan/compaction —
+            # O(batch) write cost for partial-update streams.
+            is_patch = F.col(OP_COL) == F.lit("P")
+            ids = {f.name: f.id for f in m.schema.fields}
+            mask = F.array_compact(
+                F.array(
+                    *[
+                        F.when(F.col(sf), F.lit(ids[c]))
+                        for c, sf in set_flags.items()
+                    ]
+                )
+            )
+            cols.append(
+                F.when(is_patch, mask)
+                .otherwise(F.lit(None).cast("array<int>"))
+                .alias(SYS_PATCHED)
+            )
+            props_update = {"patch_deltas": True}
+        cols += [F.col(LSN_COL).alias(SYS_LSN), is_del.alias(SYS_DELETED)]
+        delta = source.select(*cols).withColumn(BUCKET_COL, table.bucket_expr(m))
+        return table.append_files(
+            delta,
+            batch_key=batch_key,
+            batch_stats=batch_stats,
+            props_update=props_update,
+        )
 
     # Persist the source across the two CoW consumers (bucket-discovery
     # action, then the key join): without it the caller's whole upstream

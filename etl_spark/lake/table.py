@@ -44,6 +44,14 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 # schema: the LSN monotonicity guard and the delete tombstone.
 SYS_LSN = "_lsn"
 SYS_DELETED = "_deleted"
+# Partial-image delta marker (merge-on-read patch support): for an
+# op='P' delta row, the list of stable FIELD IDs the patch assigns
+# (ids, not names — a patch written before a rename must keep
+# targeting the same logical column after it, exactly like the data
+# files' field-ID read mapping); NULL for full images (base rows,
+# whole-row upserts, delete tombstones). Old files without the column
+# read as NULL = full image.
+SYS_PATCHED = "_patched"
 BUCKET_COL = "_bucket"
 
 
@@ -116,6 +124,9 @@ class TableSchema:
         if with_system:
             cols.append(T.StructField(SYS_LSN, T.LongType(), True))
             cols.append(T.StructField(SYS_DELETED, T.BooleanType(), True))
+            cols.append(
+                T.StructField(SYS_PATCHED, T.ArrayType(T.IntegerType()), True)
+            )
         return T.StructType(cols)
 
     def names(self) -> list[str]:
@@ -378,7 +389,7 @@ class LakeTable:
                     if w.type != fld.type:  # widened since write
                         c = c.cast(spark_type(fld.type))
                     cols.append(c.alias(fld.name))
-            cols += [F.col(SYS_LSN), F.col(SYS_DELETED)]
+            cols += [F.col(SYS_LSN), F.col(SYS_DELETED), F.col(SYS_PATCHED)]
             df = df.select(*cols)
             out = df if out is None else out.unionByName(df)
         return out
@@ -386,13 +397,64 @@ class LakeTable:
     def _resolve_versions(self, df: DataFrame, m: Manifest) -> DataFrame:
         """Merge-on-read resolution: one row per key — the max-LSN
         version across base + delta files (hash aggregation with
-        map-side partial combine; ties are identical re-emits)."""
-        others = [c for c in df.columns if c not in m.key]
-        packed = F.struct(*[F.col(c) for c in others]).alias("_row")
-        return (
-            df.groupBy(*m.key)
-            .agg(F.max_by(packed, F.col(SYS_LSN)).alias("_row"))
-            .select(*m.key, "_row.*")
+        map-side partial combine; ties are identical re-emits).
+
+        When the table carries partial-image deltas (manifest prop
+        `patch_deltas`, set by the first op='P' append), resolution is
+        the READ-TIME patch fold: per key, the latest full image
+        (NULL `_patched`) establishes every column and later patch
+        rows override exactly the columns their mask names — the same
+        per-column `max(struct(lsn, value))` kernel as the write-side
+        `resolve_patch_fold`, so MoR gets O(batch) write cost for
+        partial-update streams with the fold deferred to scan and
+        collapsed by compaction. Output rows are full images
+        (`_patched` NULL)."""
+        payload = [f for f in m.schema.fields if f.name not in m.key]
+        if not m.props.get("patch_deltas"):
+            others = [c for c in df.columns if c not in m.key]
+            packed = F.struct(*[F.col(c) for c in others]).alias("_row")
+            return (
+                df.groupBy(*m.key)
+                .agg(F.max_by(packed, F.col(SYS_LSN)).alias("_row"))
+                .select(*m.key, "_row.*")
+            )
+        is_full = F.col(SYS_PATCHED).isNull()
+        aggs = [
+            F.max(
+                F.when(
+                    is_full,
+                    F.struct(
+                        F.col(SYS_LSN).alias("l"),
+                        F.coalesce(F.col(SYS_DELETED), F.lit(False)).alias("d"),
+                    ),
+                )
+            ).alias("_b"),
+            F.max(F.col(SYS_LSN)).alias("_maxl"),
+        ]
+        for fld in payload:
+            aggs.append(
+                F.max(
+                    F.when(
+                        is_full
+                        | F.array_contains(F.col(SYS_PATCHED), F.lit(fld.id)),
+                        F.struct(F.col(SYS_LSN).alias("l"), F.col(fld.name).alias("v")),
+                    )
+                ).alias(f"_f_{fld.name}")
+            )
+        g = df.groupBy(*m.key).agg(*aggs)
+        # a key with NO full image (patch before its base arrived —
+        # contract-violating input) surfaces live with partial columns
+        # rather than vanishing, mirroring the write-side fold
+        deleted = F.coalesce(F.col("_b.d"), F.lit(False))
+        return g.select(
+            *m.key,
+            *[
+                F.when(~deleted, F.col(f"_f_{f.name}.v")).alias(f.name)
+                for f in payload
+            ],
+            F.col("_maxl").alias(SYS_LSN),
+            deleted.alias(SYS_DELETED),
+            F.lit(None).cast("array<int>").alias(SYS_PATCHED),
         )
 
     def read(
@@ -413,6 +475,7 @@ class LakeTable:
         elif self.write_mode(m) == "mor":
             df = self._resolve_versions(df, m)
         df = df.filter(~F.coalesce(F.col(SYS_DELETED), F.lit(False)))
+        df = df.drop(SYS_PATCHED)  # delta-marker, never a logical column
         if not include_system:
             df = df.drop(SYS_LSN, SYS_DELETED)
         return df
@@ -506,6 +569,10 @@ class LakeTable:
         ] + [
             F.col(SYS_LSN).cast("long").alias(SYS_LSN),
             F.col(SYS_DELETED).cast("boolean").alias(SYS_DELETED),
+            (
+                F.col(SYS_PATCHED) if SYS_PATCHED in df.columns
+                else F.lit(None).cast("array<int>")
+            ).cast("array<int>").alias(SYS_PATCHED),
         ]
         staged_df = df.select(F.col(BUCKET_COL), *cols)
         counts = list((bucket_counts or {}).values())
@@ -638,6 +705,7 @@ class LakeTable:
         df: DataFrame,
         batch_key: str | None = None,
         batch_stats: dict | None = None,
+        props_update: dict | None = None,
     ) -> int:
         """Merge-on-read commit: stage `df` (BUCKET_COL + physical
         schema + system columns) as new delta files; existing files
@@ -660,7 +728,7 @@ class LakeTable:
             files=m.files + staged,
             committed_batches=batches,
             parent=m.version,
-            props=m.props,
+            props={**m.props, **(props_update or {})},
         )
         self._commit_manifest(m2)
         return new_version
@@ -676,7 +744,7 @@ class LakeTable:
             df = df.withColumn(SYS_DELETED, F.lit(False))
         df = df.select(*cols, F.col(SYS_LSN), F.col(SYS_DELETED)).withColumn(
             BUCKET_COL, self.bucket_expr(m)
-        )
+        )  # _stage_dataframe adds a NULL _patched (full images)
         return self.overwrite_buckets(
             df, list(range(m.num_buckets)), batch_key=batch_key
         )

@@ -245,7 +245,10 @@ def test_patch_streaming_replay_matches_oracle(spark, tmp_path):
     assert inv["events_distinct_total"] == g.n_events
 
 
-def test_patch_requires_cow(spark, tmp_path):
+def test_patch_mor_small_replay_arms_prop(spark, tmp_path):
+    """MoR patch mode (previously rejected, now first-class): the
+    first patch append arms the `patch_deltas` manifest prop and the
+    replay still matches the oracle on a tiny corpus."""
     g = GenConfig(n_convs=3, n_events=30, segment_size=30, patch_rate=0.5)
     base = gen_base(g)
     binlog = gen_binlog(g, base, [])
@@ -259,8 +262,11 @@ def test_patch_requires_cow(spark, tmp_path):
         patch_ops=True,
     )
     bootstrap(spark, cfg, base)
-    with pytest.raises(ValueError, match="cow"):
-        replay(spark, cfg, seg_dir, [])
+    replay(spark, cfg, seg_dir, [])
+    from etl_spark.lake.table import LakeTable
+
+    assert LakeTable(spark, cfg.table_root).manifest().props.get("patch_deltas")
+    assert_frames_equal(final_state(spark, cfg), replay_oracle(base, binlog, []))
 
 
 def test_patch_out_of_order_batch_raises(spark, tmp_path):
@@ -291,3 +297,162 @@ def test_patch_out_of_order_batch_raises(spark, tmp_path):
     apply_seg(segs[1], 0)  # second segment first (lsns 41..80)
     with pytest.raises(ValueError, match="in-LSN-order"):
         apply_seg(segs[0], 1)  # earlier lsns arrive later -> loud
+
+
+def test_patch_streaming_replay_mor_matches_oracle(spark, tmp_path):
+    """Merge-on-read patch mode: op='P' change sets land as masked
+    delta rows (O(batch) write cost) and the READ-TIME patch fold
+    (`LakeTable._resolve_versions`, `patch_deltas` prop) reproduces
+    the sequential oracle exactly — same corpus shape as the CoW
+    golden (dups, disorder, schema evolution)."""
+    g = GenConfig(
+        n_convs=6, n_events=150, dup_rate=0.1, disorder_window=5,
+        segment_size=30, patch_rate=0.4, schema_op_fracs=(0.2, 0.5, 0.8),
+    )
+    base = gen_base(g)
+    ops = gen_schema_ops(g)
+    binlog = gen_binlog(g, base, ops)
+    seg_dir = str(tmp_path / "segments")
+    write_segments(binlog, seg_dir)
+    cfg = EngineConfig(
+        table_root=str(tmp_path / "tbl"),
+        manifest_dir=str(tmp_path / "manifest"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        num_buckets=8,
+        max_files_per_trigger=1,
+        write_mode="mor",
+        patch_ops=True,
+    )
+    bootstrap(spark, cfg, base)
+    replay(spark, cfg, seg_dir, ops)
+    from etl_spark.lake.table import LakeTable
+
+    table = LakeTable(spark, cfg.table_root)
+    assert table.manifest().props.get("patch_deltas") is True
+    oracle = replay_oracle(base, binlog, ops)
+    assert_frames_equal(final_state(spark, cfg), oracle)
+    # compaction collapses the delta stack through the same fold:
+    # state identical, patch rows folded into full images
+    table.compact(max_files_per_bucket=1)
+    assert_frames_equal(final_state(spark, cfg), oracle)
+    raw = table.read_raw()
+    assert raw.filter(F.col("_patched").isNotNull()).count() == 0
+
+
+def test_patch_mor_cross_batch_fold_and_feed(spark, tmp_path):
+    """The patched key's full image is in an EARLIER delta batch: the
+    read-time fold coalesces across delta files, and the change feed
+    emits the patch commit as a FULL post-image (the fold runs on both
+    diff sides)."""
+    from etl_spark.lake.changes import read_changes
+    from etl_spark.lake.table import LakeTable
+
+    ops: list = []
+    mk = dict(conv_id="c-1", turn_idx=0, schema_version=1)
+    seg0 = pd.DataFrame(
+        [
+            dict(
+                lsn=1, op="I",
+                payload=json.dumps(dict(role="user", text="hello world", tool=None, ts=100)),
+                _seg=0, **mk,
+            )
+        ]
+    )
+    seg1 = pd.DataFrame(
+        [
+            dict(
+                lsn=2, op="P",
+                payload=json.dumps(dict(tool="search", _changed=["tool"])),
+                _seg=1, **mk,
+            )
+        ]
+    )
+    binlog = pd.concat([seg0, seg1], ignore_index=True)
+    binlog["op_ts"] = pd.Timestamp("2026-01-01") + pd.to_timedelta(binlog["lsn"], unit="s")
+    binlog["turn_idx"] = binlog["turn_idx"].astype("int32")
+    binlog["schema_version"] = binlog["schema_version"].astype("int32")
+    binlog["lsn"] = binlog["lsn"].astype("int64")
+    cfg = EngineConfig(
+        table_root=str(tmp_path / "tbl"),
+        manifest_dir=str(tmp_path / "manifest"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        num_buckets=8,
+        write_mode="mor",
+        patch_ops=True,
+    )
+    bootstrap(spark, cfg, None)
+    v0 = LakeTable(spark, cfg.table_root).current_version()
+    for batch_id, (_, seg) in enumerate(binlog.groupby("_seg")):
+        df = spark.createDataFrame(seg.drop(columns="_seg"))
+        df = df.withColumn("turn_idx", F.col("turn_idx").cast("int")).withColumn(
+            "schema_version", F.col("schema_version").cast("int")
+        )
+        apply_batch(spark, cfg, ops, df, batch_id)
+    table = LakeTable(spark, cfg.table_root)
+    rows = final_state(spark, cfg).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["text"], r["role"], r["tool"], r["ts"]) == ("hello world", "user", "search", 100)
+    # the raw delta for the patch batch is a masked partial row; the
+    # mask carries the stable FIELD ID of `tool` (id 5), not its name
+    raw = table.read_raw().filter(F.col("_patched").isNotNull()).collect()
+    assert len(raw) == 1 and raw[0]["_patched"] == [5] and raw[0]["text"] is None
+    # change feed: the patch commit emits a FULL folded post-image
+    feed = read_changes(table, from_version=v0 + 1).filter(
+        F.col("_change_type") == "update_postimage"
+    ).collect()
+    assert len(feed) == 1
+    assert (feed[0]["text"], feed[0]["tool"]) == ("hello world", "search")
+
+
+def test_patch_mor_erased_key_stays_dead(spark, tmp_path):
+    """Erase/patch interaction under MoR: the read-time fold treats
+    the erase tombstone as the boundary, so a later patch delta leaves
+    the key dead; a later full image resurrects it."""
+    from etl_spark.lake.merge import merge_into
+    from etl_spark.lake.table import LakeTable
+
+    g = GenConfig(n_convs=4, n_events=60, segment_size=60, patch_rate=0.0)
+    base = gen_base(g)
+    binlog = gen_binlog(g, base, [])
+    cfg = EngineConfig(
+        table_root=str(tmp_path / "tbl"),
+        manifest_dir=str(tmp_path / "manifest"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        num_buckets=8,
+        write_mode="mor",
+        patch_ops=True,
+    )
+    bootstrap(spark, cfg, base)
+    for batch_id, (_, seg) in enumerate(binlog.groupby("_seg")):
+        df = spark.createDataFrame(seg.drop(columns="_seg"))
+        df = df.withColumn("turn_idx", F.col("turn_idx").cast("int")).withColumn(
+            "schema_version", F.col("schema_version").cast("int")
+        )
+        apply_batch(spark, cfg, [], df, batch_id)
+    table = LakeTable(spark, cfg.table_root)
+    oracle = replay_oracle(base, binlog, [])
+    victim = oracle["conv_id"].iloc[0]
+    turn = int(oracle[oracle["conv_id"] == victim]["turn_idx"].iloc[0])
+    table.erase_keys([victim], batch_key="erase:mor-patch")
+    max_lsn = int(binlog["lsn"].max())
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts long, op string, lsn long, "
+        "_set_role boolean, _set_text boolean, _set_tool boolean, _set_ts boolean"
+    )
+    patch = spark.createDataFrame(
+        [(victim, turn, None, "zombie-patch", None, None, "P", max_lsn + 1,
+          False, True, False, False)], schema,
+    )
+    merge_into(table, patch, batch_key="p1")
+    assert table.read().filter(F.col("conv_id") == victim).count() == 0
+    full = spark.createDataFrame(
+        [(victim, turn, "user", "fresh", None, 7, "U", max_lsn + 2,
+          True, True, True, True)], schema,
+    )
+    merge_into(table, full, batch_key="p2")
+    row = table.read().filter(
+        (F.col("conv_id") == victim) & (F.col("turn_idx") == turn)
+    ).collect()
+    assert len(row) == 1 and row[0]["text"] == "fresh" and row[0]["role"] == "user"
