@@ -46,6 +46,13 @@ def main() -> None:
         "must exceed the source's worst-case re-delivery lag in LSNs",
     )
     p.add_argument(
+        "--orphan-grace-seconds", type=float, default=900.0,
+        help="vacuum only unreferenced files older than this (Iceberg "
+        "remove_orphan_files older_than analog) — protects a writer "
+        "mid-commit whose rebase moved its final version past its "
+        "staging version",
+    )
+    p.add_argument(
         "--no-vacuum", action="store_true",
         help="with --expire-keep-last: drop old manifests but keep "
         "unreferenced data files on disk",
@@ -78,7 +85,9 @@ def main() -> None:
     }
     if args.expire_keep_last > 0:
         out["expire"] = table.expire_snapshots(
-            keep_last=args.expire_keep_last, vacuum=not args.no_vacuum
+            keep_last=args.expire_keep_last,
+            vacuum=not args.no_vacuum,
+            orphan_grace_seconds=args.orphan_grace_seconds,
         )
     print(json.dumps(out))
     spark.stop()

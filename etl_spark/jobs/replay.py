@@ -105,8 +105,8 @@ def run(args) -> dict:
         num_buckets=args.num_buckets,
         max_files_per_trigger=args.max_files_per_trigger,
         salt_buckets=salt,
-        # partial-image corpora fold patches in the resolve and
-        # coalesce per column in the MERGE (CoW required)
+        # partial-image corpora fold patches in the resolve; CoW
+        # coalesces in the MERGE, MoR defers the fold to read
         patch_ops=bool(patch_rate),
         write_mode=(
             getattr(args, "write_mode", "auto")
@@ -186,8 +186,10 @@ def main() -> None:
     p.add_argument("--zipf-alpha", type=float, default=1.2)
     p.add_argument("--salt-buckets", type=int, default=0)
     p.add_argument("--write-mode", choices=["auto", "mor", "cow"], default="auto",
-                   help="lake write mode; auto = mor, or cow when "
-                        "--patch-rate > 0 (patch fold requires cow)")
+                   help="lake write mode; auto = mor for full-image "
+                        "corpora, cow when --patch-rate > 0 (both modes "
+                        "support patches; cow folds in the MERGE, mor "
+                        "defers the fold to read/compaction)")
     p.add_argument("--patch-rate", type=float, default=0.0,
                    help="fraction of updates emitted as partial-image "
                         "op='P' patches (engine runs patch_ops + CoW)")

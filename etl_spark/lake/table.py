@@ -605,6 +605,30 @@ class LakeTable:
                     )
         return staged
 
+    def _rebase_safe(self, base_version: int, base: Manifest, fresh: Manifest) -> bool:
+        """True iff a rewrite computed from `base_version` may be
+        rebased onto `fresh`: every intervening commit is maintenance
+        (compaction/tombstone GC — logical state of live rows
+        unchanged; a purged tombstone re-staged by the stale rewrite
+        is harmless) AND the bucket layout is unchanged. The layout
+        check is what makes REBUCKET a real conflict despite its
+        maintenance marker: staged files carry the OLD hash-mod bucket
+        ids, which would silently misplace rows under a new
+        num_buckets. Missing intervening manifests (expired) resolve
+        to conflict."""
+        if (
+            fresh.num_buckets != base.num_buckets
+            or fresh.bucket_by != base.bucket_by
+        ):
+            return False
+        try:
+            return all(
+                self.manifest(v).props.get("maintenance_commit") == v
+                for v in range(base_version + 1, fresh.version + 1)
+            )
+        except FileNotFoundError:
+            return False
+
     def overwrite_buckets(
         self,
         df: DataFrame,
@@ -614,6 +638,7 @@ class LakeTable:
         props_update: dict | None = None,
         bucket_counts: dict[int, int] | None = None,
         expected_version: int | None = None,
+        stamp_props: tuple = (),
     ) -> int:
         """Copy-on-write commit: replace `replaced_buckets` with the
         contents of `df` (which must carry BUCKET_COL, system columns,
@@ -624,28 +649,25 @@ class LakeTable:
 
         `expected_version` (optimistic concurrency): the snapshot the
         replacement content was computed from. If the table advanced
-        past it, committing would silently drop the winner's rows in
-        the replaced buckets — raise `CommitConflict` instead."""
+        past it and the winners are not rebase-safe (`_rebase_safe`),
+        raise `CommitConflict` — committing would silently drop the
+        winner's rows in the replaced buckets.
+
+        `stamp_props`: prop names set to the version this commit
+        ACTUALLY lands at (e.g. `erase_commit`) — computed inside the
+        commit loop, because a rebase can move the final version past
+        the one the caller saw, and a stale version stamp would break
+        every consumer that matches `props[k] == version` (the change
+        feed's erase waiver, history classification)."""
         m = self.manifest()
         if batch_key is not None and batch_key in m.committed_batches:
             return m.version  # idempotent replay of a committed batch
         if expected_version is not None and m.version != expected_version:
-            # Iceberg-style conflict resolution: if every intervening
-            # commit is maintenance (compaction/rebucket/tombstone GC —
-            # logical state of live rows unchanged), the rewrite is
-            # still valid against the fresh file list (`keep` below is
-            # taken from the CURRENT manifest), so proceed. A purged
-            # tombstone re-staged by the stale rewrite is harmless
-            # (still dead; re-purged next GC). Any non-maintenance
-            # winner (merge, erase, schema) conflicts for real.
             try:
-                only_maintenance = all(
-                    self.manifest(v).props.get("maintenance_commit") == v
-                    for v in range(expected_version + 1, m.version + 1)
-                )
+                base_m = self.manifest(expected_version)
             except FileNotFoundError:
-                only_maintenance = False
-            if not only_maintenance:
+                base_m = None
+            if base_m is None or not self._rebase_safe(expected_version, base_m, m):
                 raise CommitConflict(
                     f"table advanced to v{m.version}; rewrite was computed "
                     f"from v{expected_version}"
@@ -655,21 +677,21 @@ class LakeTable:
         bad = [f for f in staged if f.bucket not in replaced]
         if bad:
             raise ValueError(f"staged rows outside replaced buckets: {bad[:3]}")
-        # Commit loop: the O_EXCL create loses to a racer that lands
+        # Commit loop: the O_EXCL create loses to a racer landing
         # between staging and commit (the NARROW window the
         # expected_version check above cannot see). Same resolution
-        # rule: a maintenance-only winner is rebased over (fresh file
-        # keep-list, staged content unchanged — logically identical
-        # rows); anything else is a real CommitConflict.
-        base_version = m.version
+        # rule via _rebase_safe (fresh file keep-list, staged content
+        # unchanged — logically identical rows).
+        base_version, base_m = m.version, m
         cur = m
         while True:
             keep = [f for f in cur.files if f.bucket not in replaced]
             batches = dict(cur.committed_batches)
             if batch_key is not None:
                 batches[batch_key] = batch_stats or {}
+            new_version = cur.version + 1
             m2 = Manifest(
-                version=cur.version + 1,
+                version=new_version,
                 num_buckets=cur.num_buckets,
                 key=cur.key,
                 bucket_by=cur.bucket_by,
@@ -678,21 +700,18 @@ class LakeTable:
                 files=keep + staged,
                 committed_batches=batches,
                 parent=cur.version,
-                props={**cur.props, **(props_update or {})},
+                props={
+                    **cur.props,
+                    **(props_update or {}),
+                    **{k: new_version for k in stamp_props},
+                },
             )
             try:
                 self._commit_manifest(m2)
                 return m2.version
             except FileExistsError:
                 fresh = self.manifest()
-                try:
-                    only_maintenance = all(
-                        self.manifest(v).props.get("maintenance_commit") == v
-                        for v in range(base_version + 1, fresh.version + 1)
-                    )
-                except FileNotFoundError:
-                    only_maintenance = False
-                if not only_maintenance:
+                if not self._rebase_safe(base_version, base_m, fresh):
                     raise CommitConflict(
                         f"lost the commit race: table advanced to "
                         f"v{fresh.version}; rewrite was computed from "
@@ -709,29 +728,53 @@ class LakeTable:
     ) -> int:
         """Merge-on-read commit: stage `df` (BUCKET_COL + physical
         schema + system columns) as new delta files; existing files
-        untouched. The max-LSN winner is resolved at read/compaction."""
+        untouched. The max-LSN winner is resolved at read/compaction.
+
+        Concurrency: a pure append never loses an update, so losing
+        the O_EXCL race is resolved by re-appending to the fresh file
+        list — UNLESS the winner changed the bucket layout (rebucket):
+        the staged deltas carry old bucket ids and would misplace
+        rows, so that raises `CommitConflict` (the stream replays the
+        batch against the new layout)."""
         m = self.manifest()
         if batch_key is not None and batch_key in m.committed_batches:
             return m.version
-        new_version = m.version + 1
-        staged = self._stage_dataframe(df, m, new_version)
-        batches = dict(m.committed_batches)
-        if batch_key is not None:
-            batches[batch_key] = batch_stats or {}
-        m2 = Manifest(
-            version=new_version,
-            num_buckets=m.num_buckets,
-            key=m.key,
-            bucket_by=m.bucket_by,
-            schema=m.schema,
-            schemas=m.schemas,
-            files=m.files + staged,
-            committed_batches=batches,
-            parent=m.version,
-            props={**m.props, **(props_update or {})},
-        )
-        self._commit_manifest(m2)
-        return new_version
+        staged = self._stage_dataframe(df, m, m.version + 1)
+        base_version, base_m = m.version, m
+        cur = m
+        while True:
+            batches = dict(cur.committed_batches)
+            if batch_key is not None:
+                batches[batch_key] = batch_stats or {}
+            m2 = Manifest(
+                version=cur.version + 1,
+                num_buckets=cur.num_buckets,
+                key=cur.key,
+                bucket_by=cur.bucket_by,
+                schema=cur.schema,
+                schemas=cur.schemas,
+                files=cur.files + staged,
+                committed_batches=batches,
+                parent=cur.version,
+                props={**cur.props, **(props_update or {})},
+            )
+            try:
+                self._commit_manifest(m2)
+                return m2.version
+            except FileExistsError:
+                fresh = self.manifest()
+                if (
+                    fresh.num_buckets != base_m.num_buckets
+                    or fresh.bucket_by != base_m.bucket_by
+                ):
+                    raise CommitConflict(
+                        f"lost the commit race to a bucket-layout change "
+                        f"(v{base_version} -> v{fresh.version}); appended "
+                        f"deltas carry stale bucket ids"
+                    ) from None
+                if batch_key is not None and batch_key in fresh.committed_batches:
+                    return fresh.version  # racer was our own replay
+                cur = fresh
 
     def append_full(self, df: DataFrame, batch_key: str | None = None) -> int:
         """Bulk load `df` (logical columns only; lsn defaults to 0) by
@@ -1225,12 +1268,15 @@ class LakeTable:
             out,
             touched,
             batch_key=batch_key,
-            props_update={"erase_commit": m.version + 1},
+            stamp_props=("erase_commit",),
             expected_version=m.version,
         )
 
     def expire_snapshots(
-        self, keep_last: int = 2, vacuum: bool = True
+        self,
+        keep_last: int = 2,
+        vacuum: bool = True,
+        orphan_grace_seconds: float = 0.0,
     ) -> dict:
         """Retention maintenance (Iceberg `expire_snapshots` +
         `remove_orphan_files` analog): drop manifests older than the
@@ -1306,6 +1352,18 @@ class LakeTable:
                     full = os.path.join(root, fn)
                     rel = os.path.relpath(full, self.root)
                     if rel not in referenced:
+                        # `orphan_grace_seconds` (Iceberg
+                        # remove_orphan_files `older_than` analog)
+                        # protects a writer mid-commit whose staged dir
+                        # version is no longer above `cur` — possible
+                        # under the rebase commit loop, where the final
+                        # version lands past the staging version. Young
+                        # unreferenced files are left for the next run.
+                        if orphan_grace_seconds > 0:
+                            import time as _time
+
+                            if _time.time() - os.path.getmtime(full) < orphan_grace_seconds:
+                                continue
                         stats["bytes_removed"] += os.path.getsize(full)
                         os.remove(full)
                         stats["files_removed"] += 1
@@ -1398,7 +1456,7 @@ class LakeTable:
             return self.overwrite_buckets(
                 df,
                 todo,
-                props_update={"maintenance_commit": m.version + 1},
+                stamp_props=("maintenance_commit",),
                 expected_version=m.version,
             )
         except (FileExistsError, CommitConflict):

@@ -172,3 +172,87 @@ def test_merge_rebases_over_maintenance_race(spark, tmp_path):
     assert len(row) == 1 and row[0]["text"] == f"winner-{max_lsn + 1}"
     assert_equalish = final_state(spark, cfg).count()
     assert assert_equalish == table.read().count()
+
+
+def test_erase_rebased_over_maintenance_keeps_feed_visibility(spark, tmp_path):
+    """Version-stamped props must be stamped with the version the
+    commit ACTUALLY lands at: an erase that rebases over a winning
+    compaction still needs `erase_commit == version`, or the change
+    feed's erase waiver misses it and downstream silently retains
+    GDPR-erased rows."""
+    from etl_spark.lake.changes import read_changes
+
+    g, base, binlog, cfg, table = _table(spark, tmp_path)
+    oracle = replay_oracle(base, binlog, [])
+    victim = oracle["conv_id"].iloc[0]
+    n_victim = int((oracle["conv_id"] == victim).sum())
+    compactor = LakeTable(spark, cfg.table_root)
+    v0 = table.current_version()
+
+    with _inject_between_stage_and_commit(
+        table, lambda: compactor.compact(max_files_per_bucket=1)
+    ):
+        table.erase_keys([victim], batch_key="erase:rebased")
+    v1 = table.current_version()
+    assert table.read().filter(F.col("conv_id") == victim).count() == 0
+    m = table.manifest()
+    assert m.props.get("erase_commit") == v1, "stamp must match landed version"
+    deletes = read_changes(table, from_version=v0, to_version=v1).filter(
+        F.col("_change_type") == "delete"
+    )
+    assert deletes.count() == n_victim
+
+
+def test_merge_conflicts_when_rebucket_wins(spark, tmp_path):
+    """Rebucket carries the maintenance marker but CHANGES the bucket
+    layout: a stale rewrite must NOT rebase over it (its staged files
+    carry old hash-mod bucket ids), regardless of the marker."""
+    g, base, binlog, cfg, table = _table(spark, tmp_path, write_mode="cow")
+    oracle = replay_oracle(base, binlog, [])
+    other = oracle["conv_id"].iloc[-1]
+    max_lsn = int(binlog["lsn"].max())
+    rebucketer = LakeTable(spark, cfg.table_root)
+    fired = {"done": False}
+
+    def rebucket_once():
+        if not fired["done"]:
+            fired["done"] = True
+            rebucketer.rebucket(8)
+
+    with _inject_between_stage_and_commit(table, rebucket_once):
+        with pytest.raises(CommitConflict):
+            _racing_merge(spark, table, other, max_lsn + 1)
+    # replay against the new layout succeeds and state is consistent
+    _racing_merge(spark, table, other, max_lsn + 1)
+    row = table.read().filter(
+        (F.col("conv_id") == other) & (F.col("turn_idx") == 0)
+    ).collect()
+    assert len(row) == 1 and row[0]["text"] == f"winner-{max_lsn + 1}"
+
+
+def test_mor_append_rebases_over_compaction(spark, tmp_path):
+    """The MoR merge path (pure delta append) must survive losing the
+    manifest race to a compaction — rebased onto the fresh file list,
+    never a failed stream batch (appends cannot lose updates)."""
+    g, base, binlog, cfg, table = _table(spark, tmp_path)  # mor default
+    oracle = replay_oracle(base, binlog, [])
+    other = oracle["conv_id"].iloc[-1]
+    max_lsn = int(binlog["lsn"].max())
+    compactor = LakeTable(spark, cfg.table_root)
+    fired = {"done": False}
+
+    def compact_once():
+        if not fired["done"]:
+            fired["done"] = True
+            compactor.compact(max_files_per_bucket=1)
+
+    with _inject_between_stage_and_commit(table, compact_once):
+        _racing_merge(spark, table, other, max_lsn + 1)  # must NOT raise
+    row = table.read().filter(
+        (F.col("conv_id") == other) & (F.col("turn_idx") == 0)
+    ).collect()
+    assert len(row) == 1 and row[0]["text"] == f"winner-{max_lsn + 1}"
+    # total state equals oracle with the winner row updated
+    assert table.read().count() == len(oracle) + (
+        0 if ((oracle["conv_id"] == other) & (oracle["turn_idx"] == 0)).any() else 1
+    )
