@@ -132,3 +132,65 @@ def test_shared_global_lsn_union_invariants(spark, tmp_path):
     )
     assert inv["events_distinct_total"] == gA.n_events + gB.n_events
     assert inv["max_lsn"] == gA.n_events + gB.n_events
+
+
+def test_routed_patch_mode_on_branch_composes(spark, tmp_path):
+    """Composition of the round-3 features through ONE streaming
+    query: entity A replays with partial-image patches (CoW fold) onto
+    a write-audit-publish BRANCH, entity B replays plain full images
+    into MoR — from the same shared changelog. After audit, publishing
+    A's branch fast-forwards main to the oracle state; B was never
+    affected by A's staging."""
+    from etl_spark.lake.table import LakeTable
+
+    gA = GenConfig(
+        seed=31, n_convs=5, n_events=120, dup_rate=0.08, disorder_window=4,
+        segment_size=40, schema_op_fracs=(0.3, 0.6, 0.9), patch_rate=0.4,
+    )
+    gB = GenConfig(
+        seed=32, n_convs=4, n_events=120, dup_rate=0.05, disorder_window=4,
+        segment_size=40, schema_op_fracs=(),
+    )
+    baseA, baseB = gen_base(gA), gen_base(gB)
+    opsA, opsB = gen_schema_ops(gA), gen_schema_ops(gB)
+    binA = gen_binlog(gA, baseA, opsA)
+    binB = gen_binlog(gB, baseB, opsB)
+    assert (binA["op"] == "P").sum() > 10
+    binA["entity"] = "convA"
+    binB["entity"] = "convB"
+    combined = pd.concat([binA, binB], ignore_index=True)
+    seg_dir = str(tmp_path / "segments")
+    write_segments(combined, seg_dir)
+
+    cfgA, cfgB = _cfg(tmp_path, "A"), _cfg(tmp_path, "B")
+    cfgA.write_mode = "cow"
+    cfgA.patch_ops = True
+    cfgA.branch = "audit"
+    cfgB.write_mode = "mor"
+    mainA = bootstrap(spark, cfgA, baseA)
+    bootstrap(spark, cfgB, baseB)
+    forkA = mainA.current_version()
+    rowsA_before = mainA.read().count()
+    mainA.create_branch("audit")
+
+    routes = {
+        "convA": (cfgA, opsA, TRANSCRIPTS),
+        "convB": (cfgB, opsB, TRANSCRIPTS),
+    }
+    run_replay_routed(
+        spark, seg_dir, routes, str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+
+    # A's main untouched during the staged replay; B fully applied
+    mainA = LakeTable(spark, cfgA.table_root)
+    assert mainA.current_version() == forkA
+    assert mainA.read().count() == rowsA_before
+    assert_frames_equal(final_state(spark, cfgB), replay_oracle(baseB, binB, opsB))
+    # audit A's branch, then publish
+    oracleA = replay_oracle(baseA, binA, opsA)
+    branchA = LakeTable(spark, cfgA.table_root, branch="audit")
+    assert_frames_equal(branchA.read().orderBy("conv_id", "turn_idx"), oracleA)
+    mainA.publish_branch("audit")
+    assert_frames_equal(final_state(spark, cfgA), oracleA)
+    invA = lineage.check_invariants(spark, cfgA.manifest_dir)
+    assert invA["events_distinct_total"] == gA.n_events
