@@ -421,7 +421,13 @@ def apply_batch(
         batch_df, n_quarantined = quarantine_split(
             batch_df, cfg.quarantine_dir, ops, batch_id, spec=spec
         )
-        vmin, vmax = max(vmin, BASE_VERSION), min(vmax, max_known_version(ops))
+        # vmin/vmax are None when EVERY event's schema_version is NULL
+        # (min/max ignore nulls) — treat as an empty decodable range;
+        # the whole batch just went to the DLQ above
+        vmin = BASE_VERSION if vmin is None else max(vmin, BASE_VERSION)
+        vmax = (
+            BASE_VERSION - 1 if vmax is None else min(vmax, max_known_version(ops))
+        )
         t = _tlog(batch_id, "quarantine", t)
         if n_quarantined >= stats_src["events_in"] or vmin > vmax:
             # whole batch was poison: nothing to apply. The DLQ write
@@ -429,6 +435,13 @@ def apply_batch(
             # covers is reconcilable from the manifest's quarantined
             # counts.
             return
+    elif vmin is None or vmax is None:
+        raise ValueError(
+            f"batch {batch_id}: every event has NULL schema_version "
+            f"(poison source) and no quarantine_dir is configured — "
+            f"refusing to guess; set EngineConfig.quarantine_dir to "
+            f"divert such events to the dead-letter queue"
+        )
     versions = list(range(vmin, vmax + 1))
 
     # 2. ensure the narrow parse/normalize stages have enough map-side

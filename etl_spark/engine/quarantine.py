@@ -76,26 +76,30 @@ def quarantine_reason(ops: list[SchemaOp]) -> Column:
     version_bad = (
         ver.isNull() | (ver < F.lit(BASE_VERSION)) | (ver > F.lit(max_known_version(ops)))
     )
-    needs_payload = F.col("op") != F.lit("D")
+    # op must be a known code: a NULL or unknown op would otherwise
+    # slip through every downstream `op == 'D'` / `op != 'P'` test
+    # (none of which is null-safe) and be applied as an upsert — for
+    # a NULL-payload NULL-op event that is exactly the all-NULL row
+    # the DLQ exists to prevent.
+    op_bad = F.col("op").isNull() | ~F.col("op").isin("I", "U", "D", "P")
+    # null-safe: op NULL must not make needs_payload NULL (which would
+    # let a NULL-payload event pass the payload screen entirely)
+    needs_payload = ~F.col("op").eqNullSafe(F.lit("D"))
     payload_bad = needs_payload & (
         F.col("payload").isNull() | F.try_parse_json(F.col("payload")).isNull()
     )
     return (
-        F.when(version_bad, F.lit("unknown_schema_version"))
+        F.when(op_bad, F.lit("unknown_op"))
+        .when(version_bad, F.lit("unknown_schema_version"))
         .when(payload_bad, F.lit("malformed_payload"))
         .otherwise(F.lit(None).cast("string"))
     )
 
 
 def _footer_row_count(path: str) -> int:
-    import pyarrow.parquet as pq
+    from etl_spark.util import footer_row_count
 
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for fn in files:
-            if fn.endswith(".parquet"):
-                total += pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
-    return total
+    return footer_row_count(path)
 
 
 def quarantine_split(
@@ -123,7 +127,7 @@ def quarantine_split(
         .parquet(out)
     )
     n_bad = _footer_row_count(out)
-    good = batch_df.filter(quarantine_reason(ops).isNull())
+    good = batch_df.filter(reason.isNull())
     return good, n_bad
 
 

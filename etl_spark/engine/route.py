@@ -31,7 +31,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from etl_spark.cdc_schema import SchemaOp, SourceSpec
 from etl_spark.config import EngineConfig
-from etl_spark.engine.apply import apply_batch, drain_pending
+from etl_spark.engine.apply import (
+    _batch_files_from_checkpoint,
+    apply_batch,
+    drain_pending,
+)
+from etl_spark.engine import lineage
 from etl_spark.lake.table import spark_type
 
 Route = tuple[EngineConfig, list[SchemaOp], SourceSpec]
@@ -78,6 +83,7 @@ def apply_batch_routed(
     batch_df: DataFrame,
     batch_id: int,
     entity_col: str = ENTITY_COL,
+    unrouted: str = "error",
 ) -> None:
     """Split one micro-batch by route column and apply each slice to
     its entity's table. File footer stats don't apply to a filtered
@@ -104,11 +110,27 @@ def apply_batch_routed(
                 "min_lsn": int(r["min_lsn"]),
                 "max_lsn": int(r["max_lsn"]),
                 "events_in": int(r["events_in"]),
-                "vmin": int(r["vmin"]),
-                "vmax": int(r["vmax"]),
+                # min/max ignore NULLs: an all-NULL schema_version
+                # slice yields None here; apply_batch diverts it to
+                # the DLQ (quarantine configured) or fails loud —
+                # never a TypeError before the screen runs
+                "vmin": None if r["vmin"] is None else int(r["vmin"]),
+                "vmax": None if r["vmax"] is None else int(r["vmax"]),
             }
             for r in stat_rows
         }
+        # Unknown entities are DATA LOSS if silently skipped (a new
+        # producer topic, or a route-name typo): the loop below only
+        # visits configured routes. Fail loud by default; "ignore" is
+        # the explicit allowlist mode for sources that share the log
+        # with consumers this job does not own.
+        unknown = sorted(set(by_entity) - set(routes))
+        if unknown and unrouted == "error":
+            raise ValueError(
+                f"batch {batch_id} carries unrouted entities {unknown} "
+                f"(configured: {sorted(routes)}); pass unrouted='ignore' "
+                f"to allowlist-skip them"
+            )
         empty = {"min_lsn": 0, "max_lsn": 0, "events_in": 0,
                  "vmin": None, "vmax": None}
         for name in sorted(routes):
@@ -130,6 +152,52 @@ def apply_batch_routed(
         batch_df.unpersist()
 
 
+def reconcile_lineage_routed(
+    spark: SparkSession,
+    routes: dict[str, Route],
+    checkpoint_dir: str,
+    entity_col: str = ENTITY_COL,
+) -> list[int]:
+    """Routed twin of `engine.apply.reconcile_lineage` (the async-
+    lineage crash-window heal): a crash AFTER epoch N committed to the
+    shared streaming checkpoint but BEFORE an entity's background
+    lineage write landed leaves that entity's manifest missing
+    forever — the epoch is never replayed, so the in-batch heal never
+    runs. For every route, find ledger-committed batches whose lineage
+    file is absent, recover each batch's file set from the checkpoint
+    offset log, and re-push it through apply_batch_routed (merges
+    no-op via the per-entity ledgers; only the lineage recomputes).
+    Returns the healed batch ids."""
+    from etl_spark.lake.table import LakeTable
+
+    missing: set[int] = set()
+    for name, (cfg, _, _) in routes.items():
+        if not LakeTable.exists(cfg.table_root):
+            continue
+        table = LakeTable(spark, cfg.table_root, branch=cfg.branch)
+        prefix = f"cdc-{name}:"
+        for k in table.manifest().committed_batches:
+            if not k.startswith(prefix):
+                continue
+            try:
+                bid = int(k[len(prefix):])
+            except ValueError:
+                continue
+            if not lineage.has_batch_manifest(cfg.manifest_dir, bid):
+                missing.add(bid)
+    healed: list[int] = []
+    for bid in sorted(missing):
+        files = _batch_files_from_checkpoint(checkpoint_dir, bid)
+        if not files:
+            continue
+        df = spark.read.schema(routed_binlog_schema(routes, entity_col)).parquet(*files)
+        apply_batch_routed(spark, routes, df, bid, entity_col, unrouted="ignore")
+        healed.append(bid)
+    for cfg, _, _ in routes.values():
+        drain_pending(cfg.table_root)
+    return healed
+
+
 def run_replay_routed(
     spark: SparkSession,
     segments_dir: str,
@@ -137,17 +205,35 @@ def run_replay_routed(
     checkpoint_dir: str,
     max_files_per_trigger: int = 4,
     entity_col: str = ENTITY_COL,
+    unrouted: str = "error",
 ) -> None:
     """Bounded replay of a shared multi-entity log into every route's
-    table: one streaming query, one checkpoint, N ledgered targets."""
+    table: one streaming query, one checkpoint, N ledgered targets.
+
+    Watermark dedup: if ANY route's config enables
+    `use_watermark_dedup`, the SHARED stream dedups on
+    (entity, lsn) — LSNs are unique within an entity's log — before
+    the split, under one watermark (mixed watermark strings across
+    flagged routes are a config error)."""
+    reconcile_lineage_routed(spark, routes, checkpoint_dir, entity_col)
     stream = (
         spark.readStream.schema(routed_binlog_schema(routes, entity_col))
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(segments_dir)
     )
+    marks = {cfg.watermark for cfg, _, _ in routes.values() if cfg.use_watermark_dedup}
+    if len(marks) > 1:
+        raise ValueError(
+            f"use_watermark_dedup routes disagree on the watermark: {sorted(marks)}"
+        )
+    if marks:
+        stream = stream.withWatermark("op_ts", next(iter(marks)))
+        stream = stream.dropDuplicatesWithinWatermark([entity_col, "lsn"])
     q = (
         stream.writeStream.foreachBatch(
-            lambda df, bid: apply_batch_routed(spark, routes, df, bid, entity_col)
+            lambda df, bid: apply_batch_routed(
+                spark, routes, df, bid, entity_col, unrouted=unrouted
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

@@ -58,7 +58,8 @@ DELETE = "delete"
 
 
 def _commit_changes(
-    table: LakeTable, v: int, include_pre_images: bool
+    table: LakeTable, v: int, include_pre_images: bool,
+    _manifest=None,
 ) -> DataFrame | None:
     """Diff version v against v-1, restricted to the buckets v touched;
     None when the commit changed no data files — or when the commit is
@@ -68,11 +69,12 @@ def _commit_changes(
     of them as unchanged anyway; the marker saves the full two-sided
     diff scan, which otherwise makes the feed's cost grow with
     maintenance frequency instead of change volume."""
-    m_new = table.manifest(v)
+    mf = _manifest or table.manifest
+    m_new = mf(v)
     if m_new.props.get("maintenance_commit") == v:
         return None
     is_erase = m_new.props.get("erase_commit") == v
-    m_old = table.manifest(v - 1)
+    m_old = mf(v - 1)
     new_paths = {f.path for f in m_new.files}
     old_paths = {f.path for f in m_old.files}
     buckets = {f.bucket for f in m_new.files if f.path not in old_paths} | {
@@ -223,10 +225,22 @@ def read_changes(
     )
     if to_version < from_version:
         raise ValueError(f"to_version {to_version} < from_version {from_version}")
-    target = table.manifest(to_version).schema
+
+    # one driver-side parse per manifest in the window (each pins the
+    # FULL file list; re-parsing it ~3x per version — as m_new, as the
+    # next commit's m_old, and again in align — is real driver cost at
+    # large-table scale)
+    _cache: dict[int, object] = {}
+
+    def mf(v: int):
+        if v not in _cache:
+            _cache[v] = table.manifest(v)
+        return _cache[v]
+
+    target = mf(to_version).schema
 
     def align(df: DataFrame, v: int) -> DataFrame:
-        ws = table.manifest(v).schema
+        ws = mf(v).schema
         if ws.to_json() == target.to_json():
             return df
         written = ws.by_id()
@@ -245,10 +259,11 @@ def read_changes(
     parts = [
         align(d, v)
         for v in range(from_version + 1, to_version + 1)
-        if (d := _commit_changes(table, v, include_pre_images)) is not None
+        if (d := _commit_changes(table, v, include_pre_images, _manifest=mf))
+        is not None
     ]
     if not parts:
-        m = table.manifest(to_version)
+        m = mf(to_version)
         empty = T.StructType(
             list(m.schema.struct())
             + [

@@ -26,9 +26,13 @@ directory would leave overlapping dirs and duplicate rows). Distinct
 successful write.
 
 Export windows may span schema evolution: each window is written in
-the table's CURRENT logical schema at export time, so older windows
-can have fewer columns — `read_exported` reads with mergeSchema so
-downstream sees the union schema with NULLs for pre-evolution windows.
+the table's CURRENT logical schema at export time and carries a
+`_schema.json` sidecar pinning that schema's FIELD IDs. `read_exported`
+aligns every window onto the newest window's schema BY FIELD ID — the
+same mapping the table's own read path uses — so a rename between
+export runs surfaces one logical column (not two half-null ones) and
+a widen casts old windows up (a plain mergeSchema read would refuse to
+merge long with timestamp and make the whole history unreadable).
 
 Scale: each export moves O(changed rows in the window) — the
 `read_changes` plan is bucket-restricted per commit — and the cursor
@@ -44,21 +48,15 @@ from pyspark.sql import DataFrame
 
 from etl_spark.lake.changes import read_changes
 from etl_spark.lake.table import LakeTable
+from etl_spark.util import footer_row_count, read_cursor, write_cursor
 
 
 def _read_cursor(path: str) -> int:
-    if not os.path.exists(path):
-        return 0
-    with open(path) as fh:
-        return int(json.load(fh)["exported_version"])
+    return read_cursor(path, "exported_version")
 
 
 def _write_cursor(path: str, version: int) -> None:
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump({"exported_version": version}, fh)
-    os.replace(tmp, path)
+    write_cursor(path, "exported_version", version)
 
 
 def export_changes(
@@ -93,24 +91,60 @@ def export_changes(
         ) from e
     dest = os.path.join(out_dir, f"from={frm + 1}")
     changes.write.mode("overwrite").parquet(dest)
+    # schema sidecar: the window's logical fields WITH stable ids, so
+    # read_exported can align windows across renames/widens (crash
+    # safety: written before the cursor advances, overwritten with the
+    # window on a rerun)
+    with open(os.path.join(dest, "_schema.json"), "w") as fh:
+        json.dump(
+            {"fields": [f.to_json() for f in table.manifest(cur).schema.fields]},
+            fh,
+        )
     # exact count from the written footers (no extra job)
-    import pyarrow.parquet as pq
-
-    rows = sum(
-        pq.ParquetFile(os.path.join(dest, f)).metadata.num_rows
-        for f in os.listdir(dest)
-        if f.endswith(".parquet")
-    )
+    rows = footer_row_count(dest)
     _write_cursor(cursor_path, cur)
     return {"from_version": frm, "to_version": cur, "rows_exported": rows}
 
 
+#: change-feed metadata columns appended to every window
+CHANGE_COLS = ["_change_type", "_commit_version", "_change_lsn"]
+
+
 def read_exported(spark, out_dir: str) -> DataFrame:
-    """Downstream view of the exported feed (all windows; union schema
-    across schema-evolution boundaries)."""
-    return (
-        spark.read.option("mergeSchema", "true")
-        .option("basePath", out_dir)
-        .parquet(os.path.join(out_dir, "from=*"))
-        .drop("from")
+    """Downstream view of the exported feed: every window aligned onto
+    the NEWEST window's schema by field ID (rename-safe, widen-casting,
+    NULL for columns that did not yet exist) and unioned."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.lake.table import Field, spark_type
+
+    dirs = sorted(
+        (d for d in os.listdir(out_dir) if d.startswith("from=")),
+        key=lambda d: int(d.split("=", 1)[1]),
     )
+    if not dirs:
+        raise FileNotFoundError(f"no export windows under {out_dir}")
+
+    def fields_of(d: str) -> list[Field]:
+        with open(os.path.join(out_dir, d, "_schema.json")) as fh:
+            return [Field.from_json(x) for x in json.load(fh)["fields"]]
+
+    target = fields_of(dirs[-1])
+    out: DataFrame | None = None
+    for d in dirs:
+        by_id = {f.id: f for f in fields_of(d)}
+        df = spark.read.parquet(os.path.join(out_dir, d))
+        cols = []
+        for tf in target:
+            w = by_id.get(tf.id)
+            if w is None:  # column added after this window was exported
+                cols.append(F.lit(None).cast(spark_type(tf.type)).alias(tf.name))
+            else:
+                c = F.col(w.name)
+                if w.type != tf.type:  # widened since this window
+                    c = c.cast(spark_type(tf.type))
+                cols.append(c.alias(tf.name))
+        cols += [F.col(c) for c in CHANGE_COLS if c in df.columns]
+        df = df.select(*cols)
+        out = df if out is None else out.unionByName(df, allowMissingColumns=True)
+    return out

@@ -42,20 +42,15 @@ from pyspark.sql import DataFrame, functions as F
 
 from etl_spark.lake.changes import read_changes, signed_deltas
 from etl_spark.lake.table import LakeTable
+from etl_spark.util import read_cursor, write_cursor
 
 
 def _read_cursor(path: str) -> int:
-    if not os.path.exists(path):
-        return 0
-    with open(path) as fh:
-        return int(json.load(fh)["refreshed_version"])
+    return read_cursor(path, "refreshed_version")
 
 
 def _write_cursor(path: str, version: int) -> None:
-    tmp = path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump({"refreshed_version": version}, fh)
-    os.replace(tmp, path)
+    write_cursor(path, "refreshed_version", version)
 
 
 def _state_path(mv_dir: str, version: int) -> str:

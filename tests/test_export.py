@@ -24,9 +24,16 @@ def _merge(spark, t, conv, turn, text, lsn, op="U"):
                  ts=[lsn], lsn=[lsn], op=[op])
         )
     ).withColumn("turn_idx", F.col("turn_idx").cast("int"))
-    for f in t.manifest().schema.fields:  # null-backfill evolved cols
+    for f in t.manifest().schema.fields:  # align to the evolved schema
         if f.name not in src.columns:
-            src = src.withColumn(f.name, F.lit(None).cast(spark_type(f.type)))
+            # null-backfill added columns; map renamed ones from the
+            # base name the helper still uses (text -> body)
+            base = "text" if f.name == "body" else None
+            if base and base in src.columns:
+                src = src.withColumnRenamed(base, f.name)
+            else:
+                src = src.withColumn(f.name, F.lit(None).cast(spark_type(f.type)))
+        src = src.withColumn(f.name, F.col(f.name).cast(spark_type(f.type)))
     merge_into(t, src, batch_key=f"b{lsn}")
 
 
@@ -117,3 +124,33 @@ def test_export_fails_loud_when_retention_outpaces_cursor(spark, tmp_path):
     t.expire_snapshots(keep_last=2)  # reclaims versions the cursor=0 needs
     with pytest.raises(RuntimeError, match="expired past"):
         export_changes(t, out)
+
+
+def test_export_aligns_rename_and_widen_across_windows(spark, tmp_path):
+    """Schema evolution BETWEEN export runs: a rename must surface as
+    ONE logical column across all windows (field-ID alignment — a
+    mergeSchema read would split it into two half-null columns) and a
+    widen must cast old windows up (mergeSchema outright refuses to
+    merge long with timestamp, making the history unreadable)."""
+    t = make_table(spark, tmp_path)
+    seed(spark, t)
+    _merge(spark, t, "c0", 0, "w1-old-names", 100)
+    out = str(tmp_path / "downstream")
+    export_changes(t, out)  # window 1: schema (text, ts:long)
+
+    t.rename_column("text", "body")
+    t.widen_type("ts", "timestamp")
+    _merge(spark, t, "c1", 1, "w2-new-names", 101)
+    export_changes(t, out)  # window 2: schema (body, ts:timestamp)
+
+    got = read_exported(spark, out)
+    cols = got.columns
+    assert "body" in cols and "text" not in cols, cols
+    assert dict(got.dtypes)["ts"] == "timestamp"
+    rows = {r["body"]: r for r in got.filter(F.col("_change_type") != "delete").collect()}
+    # window-1 content surfaces under the CURRENT name with cast ts
+    assert "w1-old-names" in rows and "w2-new-names" in rows
+    assert rows["w1-old-names"]["ts"] is not None
+    # and it equals the live feed read at the current schema
+    want = _norm(read_changes(t, 0))
+    pd.testing.assert_frame_equal(_norm(got)[list(want.columns)], want)

@@ -150,3 +150,38 @@ def test_quarantine_with_watermark_dedup(spark, tmp_path):
     assert_frames_equal(final_state(spark, cfg), replay_oracle(base, valid, ops))
     dlq = read_quarantine(spark, str(tmp_path / "dlq")).toPandas()
     assert set(dlq["lsn"].astype(int)) == bad_lsns
+
+
+def test_quarantine_diverts_null_and_unknown_op(spark, tmp_path):
+    """A NULL or unknown op must divert (reason `unknown_op`), never
+    apply: downstream `op == 'D'` / `op != 'P'` tests are not
+    null-safe, so a NULL-op NULL-payload event would otherwise upsert
+    an all-NULL row — the exact failure mode the DLQ exists for."""
+    g = GenConfig(n_convs=5, n_events=100, dup_rate=0.0, disorder_window=4, segment_size=25)
+    base = gen_base(g)
+    ops = gen_schema_ops(g)
+    binlog = gen_binlog(g, base, ops)
+    singles = binlog["lsn"].map(binlog["lsn"].value_counts()) == 1
+    upd = binlog.index[(binlog["op"] == "U") & singles].tolist()
+    null_op = upd[1::7][:3]
+    weird_op = upd[4::7][:3]
+    binlog.loc[null_op, "op"] = None
+    binlog.loc[null_op, "payload"] = None  # worst case: both NULL
+    binlog.loc[weird_op, "op"] = "UPSERT"  # unknown op code
+    poisoned_lsns = set(binlog.loc[null_op, "lsn"].astype(int)) | set(
+        binlog.loc[weird_op, "lsn"].astype(int)
+    )
+    assert len(poisoned_lsns) == 6
+
+    seg_dir = str(tmp_path / "segments")
+    write_segments(binlog, seg_dir)
+    cfg = make_cfg(tmp_path, quarantine_dir=str(tmp_path / "dlq"))
+    bootstrap(spark, cfg, base)
+    replay(spark, cfg, seg_dir, ops)
+
+    # oracle over only the valid events
+    valid = binlog[~binlog["lsn"].isin(poisoned_lsns)]
+    assert_frames_equal(final_state(spark, cfg), replay_oracle(base, valid, ops))
+    dlq = read_quarantine(spark, cfg.quarantine_dir).toPandas()
+    assert set(dlq["lsn"].astype(int)) == poisoned_lsns
+    assert set(dlq["q_reason"]) == {"unknown_op"}

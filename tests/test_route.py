@@ -194,3 +194,77 @@ def test_routed_patch_mode_on_branch_composes(spark, tmp_path):
     assert_frames_equal(final_state(spark, cfgA), oracleA)
     invA = lineage.check_invariants(spark, cfgA.manifest_dir)
     assert invA["events_distinct_total"] == gA.n_events
+
+
+def test_routed_unknown_entity_fails_loud(spark, tmp_path):
+    """An entity with no configured route is data loss if silently
+    skipped (producer added a topic / route-name typo): the default is
+    a loud error naming the offenders; unrouted='ignore' is the
+    explicit allowlist mode."""
+    import pytest
+
+    from etl_spark.engine.route import apply_batch_routed
+
+    g = GenConfig(seed=41, n_convs=3, n_events=40, segment_size=40)
+    base = gen_base(g)
+    binlog = gen_binlog(g, base, [])
+    binlog["entity"] = "convA"
+    binlog.loc[binlog.index[:5], "entity"] = "conv_TYPO"
+    cfgA = _cfg(tmp_path, "A")
+    bootstrap(spark, cfgA, base)
+    routes = {"convA": (cfgA, [], TRANSCRIPTS)}
+    df = spark.createDataFrame(binlog.drop(columns="_seg"))
+    df = df.withColumn("turn_idx", df["turn_idx"].cast("int")).withColumn(
+        "schema_version", df["schema_version"].cast("int")
+    )
+    with pytest.raises(ValueError, match="conv_TYPO"):
+        apply_batch_routed(spark, routes, df, 0)
+    # allowlist mode applies the known entity and skips the stranger
+    apply_batch_routed(spark, routes, df, 0, unrouted="ignore")
+    valid = binlog[binlog["entity"] == "convA"]
+    assert_frames_equal(final_state(spark, cfgA), replay_oracle(base, valid, []))
+
+
+def test_routed_reconcile_heals_lost_lineage(spark, tmp_path):
+    """Routed twin of the async-lineage crash-window heal: delete one
+    entity's lineage manifest for a committed batch (the crash left
+    the epoch committed but the background write lost) and re-run the
+    routed replay — reconcile_lineage_routed rebuilds it from the
+    checkpoint offset log before the stream starts skipping committed
+    batches."""
+    import os
+
+    gA = GenConfig(seed=51, n_convs=4, n_events=80, segment_size=20)
+    gB = GenConfig(seed=52, n_convs=3, n_events=80, segment_size=20)
+    baseA, baseB = gen_base(gA), gen_base(gB)
+    binA, binB = gen_binlog(gA, baseA, []), gen_binlog(gB, baseB, [])
+    binA["entity"] = "convA"
+    binB["entity"] = "convB"
+    combined = pd.concat([binA, binB], ignore_index=True)
+    seg_dir = str(tmp_path / "segments")
+    write_segments(combined, seg_dir)
+    cfgA, cfgB = _cfg(tmp_path, "A"), _cfg(tmp_path, "B")
+    routes = {"convA": (cfgA, [], TRANSCRIPTS), "convB": (cfgB, [], TRANSCRIPTS)}
+    bootstrap(spark, cfgA, baseA)
+    bootstrap(spark, cfgB, baseB)
+    ckpt = str(tmp_path / "ckpt")
+    run_replay_routed(spark, seg_dir, routes, ckpt, max_files_per_trigger=1)
+
+    # simulate the crash window: batch 1's lineage for entity B is gone
+    # (these entities carry their OWN dense LSN spaces, so B's ledger
+    # alone shows the gap; the union check is for the shared-LSN shape)
+    victim = os.path.join(cfgB.manifest_dir, "batch-0000000001.parquet")
+    assert os.path.exists(victim)
+    os.remove(victim)
+    import pytest
+
+    with pytest.raises(Exception):
+        lineage.check_invariants(spark, cfgB.manifest_dir)
+
+    # resuming the routed replay heals it before the stream starts
+    run_replay_routed(spark, seg_dir, routes, ckpt, max_files_per_trigger=1)
+    assert os.path.exists(victim)  # manifest rebuilt from the offset log
+    invB = lineage.check_invariants(spark, cfgB.manifest_dir)
+    assert invB["events_distinct_total"] == gB.n_events
+    assert_frames_equal(final_state(spark, cfgA), replay_oracle(baseA, binA, []))
+    assert_frames_equal(final_state(spark, cfgB), replay_oracle(baseB, binB, []))
