@@ -689,10 +689,11 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TEXT_TOKEN_STATS = """
 SELECT doc_id,
        CAST(length(text) AS INTEGER) AS n_chars,
-       CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS INTEGER) AS n_tokens,
+       CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                t -> t <> '')) AS INTEGER) AS n_tokens,
        CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS INTEGER) AS n_punct,
        CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INTEGER) AS n_digits,
-       CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
                 t -> list_contains(['the','a','of','and','to','in','is','that'], t))) AS INTEGER) AS n_stop
 FROM documents
 """
@@ -755,7 +756,8 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TEXT_QUALITY = """
 WITH f AS (
   SELECT doc_id,
-    CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS INTEGER) AS n_tokens,
+    CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+        t -> t <> '')) AS INTEGER) AS n_tokens,
     len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
         t -> list_contains(['the','a','of','and','to','in','is','that'], t))) AS n_stop,
     length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
@@ -964,7 +966,8 @@ comps AS (
   SELECT id AS doc_id, min(comp) AS component_id FROM reach GROUP BY id),
 q AS (
   SELECT doc_id,
-    CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS INTEGER) AS n_tokens,
+    CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+        t -> t <> '')) AS INTEGER) AS n_tokens,
     len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
         t -> list_contains(['the','a','of','and','to','in','is','that'], t))) AS n_stop,
     length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,

@@ -430,10 +430,18 @@ def apply_batch(
         )
         t = _tlog(batch_id, "quarantine", t)
         if n_quarantined >= stats_src["events_in"] or vmin > vmax:
-            # whole batch was poison: nothing to apply. The DLQ write
-            # above is the batch's durable record; the LSN range it
-            # covers is reconcilable from the manifest's quarantined
-            # counts.
+            # whole batch was poison: nothing to apply, but the batch
+            # still covered an LSN span — without a ledger row the
+            # invariant checker would report a phantom 'LSN gap' and
+            # the quarantined count would vanish from the audit
+            # accounting. Write the zero-applied manifest (driver-side
+            # one-row parquet, idempotent overwrite) alongside the DLQ.
+            lineage.write_poison_batch_manifest(
+                cfg.manifest_dir,
+                batch_id,
+                {**stats_src, "events_quarantined": n_quarantined},
+                table.manifest().version,
+            )
             return
     elif vmin is None or vmax is None:
         raise ValueError(

@@ -39,9 +39,19 @@ def _content_cols(cols: list[str]) -> list[str]:
 
 
 def _canonical_checksum_col(cols: list[str]):
-    # order-insensitive: per-row crc32 of a canonical string, summed
+    # order-insensitive: per-row crc32 of a canonical JSON encoding,
+    # summed. JSON (with ignoreNullFields=false) rather than concat_ws:
+    # concat_ws SKIPS null arguments and does not escape the separator,
+    # so ('x', NULL) and (NULL, 'x') — or a value containing the
+    # separator byte — would collide, defeating the checksum's purpose
+    # of catching content divergence between replays.
     return F.sum(
-        F.crc32(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]))
+        F.crc32(
+            F.to_json(
+                F.struct(*[F.col(c) for c in cols]),
+                {"ignoreNullFields": "false"},
+            )
+        )
     )
 
 
@@ -130,6 +140,48 @@ def write_batch_manifest(
     os.replace(tmp, out)
 
 
+def write_poison_batch_manifest(
+    manifest_dir: str, batch_id: int, stats: dict, table_version: int
+) -> None:
+    """Manifest for a batch whose EVERY event went to the dead-letter
+    queue: the merge never ran, but the batch still covered an LSN
+    span — without this row the ledger has a hole there and
+    check_invariants reports a phantom 'LSN gap — lost data' on a
+    healthy replay, and the quarantined count vanishes from the audit
+    accounting. One driver-side row (partition_id = -1, zero applied
+    events, the batch's LSN bounds and quarantine count); idempotent
+    overwrite like the normal rollup."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "partition_id": pa.array([-1], pa.int32()),
+            "min_lsn": pa.array([stats["min_lsn"]], pa.int64()),
+            "max_lsn": pa.array([stats["max_lsn"]], pa.int64()),
+            "row_count": pa.array([0], pa.int64()),
+            "checksum": pa.array([0], pa.int64()),
+            "events_in": pa.array([0], pa.int64()),
+            "events_distinct": pa.array([0], pa.int64()),
+            "events_new": pa.array([0], pa.int64()),
+            "batch_id": pa.array([batch_id], pa.int64()),
+            "batch_min_lsn": pa.array([stats["min_lsn"]], pa.int64()),
+            "batch_max_lsn": pa.array([stats["max_lsn"]], pa.int64()),
+            "batch_events_in": pa.array([stats["events_in"]], pa.int64()),
+            "batch_events_quarantined": pa.array(
+                [stats.get("events_quarantined", 0)], pa.int64()
+            ),
+            "table_version": pa.array([table_version], pa.int64()),
+            "committed_at_us": pa.array([int(time.time() * 1e6)], pa.int64()),
+        }
+    )
+    os.makedirs(manifest_dir, exist_ok=True)
+    out = _batch_file(manifest_dir, batch_id)
+    tmp = out + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, out)
+
+
 def read_manifest(
     spark: SparkSession, manifest_dir: str | list[str]
 ) -> DataFrame:
@@ -144,9 +196,23 @@ def read_manifest(
     paths = [
         os.path.join(d, f)
         for d in dirs
+        if os.path.isdir(d)
         for f in sorted(os.listdir(d))
         if f.startswith("batch-") and f.endswith(".parquet")
     ]
+    if not paths:
+        # nothing committed yet (or dir not created): the natural
+        # empty ledger, not a FileNotFoundError / schema-inference
+        # crash from the audit job
+        return spark.createDataFrame(
+            [],
+            "partition_id int, min_lsn long, max_lsn long, row_count long, "
+            "checksum long, events_in long, events_distinct long, "
+            "events_new long, batch_id long, batch_min_lsn long, "
+            "batch_max_lsn long, batch_events_in long, "
+            "batch_events_quarantined long, table_version long, "
+            "committed_at_us long",
+        )
     return spark.read.parquet(*paths)
 
 
@@ -170,20 +236,38 @@ def check_invariants(
     re-delivered into a later batch) only for manifests written before
     the column existed."""
     df = read_manifest(spark, manifest_dir)
-    agg = [
-        F.min("batch_min_lsn").alias("lo"),
-        F.max("batch_max_lsn").alias("hi"),
+    has_new = "events_new" in df.columns
+    has_q = "batch_events_quarantined" in df.columns
+    # Two-level aggregation: batch_* columns are constant per bucket
+    # row WITHIN one manifest FILE, but in a routed-union read the same
+    # batch_id appears in several routes' files, each slice with its
+    # OWN batch totals — first() there would pick one arbitrary slice
+    # and the accounting would silently undercount. Collapse per
+    # (batch, file) first, then combine slices.
+    slice_agg = [
+        F.first("batch_min_lsn").alias("lo"),
+        F.first("batch_max_lsn").alias("hi"),
         F.sum("row_count").alias("keys_resolved"),
         F.sum("events_distinct").alias("events_distinct"),
     ]
-    has_new = "events_new" in df.columns
+    if has_new:
+        slice_agg.append(F.sum("events_new").alias("events_new"))
+    if has_q:
+        slice_agg.append(F.first("batch_events_quarantined").alias("quarantined"))
+    per_slice = df.withColumn("_src", F.input_file_name()).groupBy(
+        "batch_id", "_src"
+    ).agg(*slice_agg)
+    agg = [
+        F.min("lo").alias("lo"),
+        F.max("hi").alias("hi"),
+        F.sum("keys_resolved").alias("keys_resolved"),
+        F.sum("events_distinct").alias("events_distinct"),
+    ]
     if has_new:
         agg.append(F.sum("events_new").alias("events_new"))
-    has_q = "batch_events_quarantined" in df.columns
     if has_q:
-        # constant per batch (written once per bucket row) -> first()
-        agg.append(F.first("batch_events_quarantined").alias("quarantined"))
-    per_batch = df.groupBy("batch_id").agg(*agg).orderBy("lo", "batch_id").collect()
+        agg.append(F.sum("quarantined").alias("quarantined"))
+    per_batch = per_slice.groupBy("batch_id").agg(*agg).orderBy("lo", "batch_id").collect()
     prev_hi = None
     overlapped = []
     total_distinct = 0
@@ -231,21 +315,39 @@ def batch_metrics(spark: SparkSession, manifest_dir: str | list[str]) -> DataFra
     opt = lambda c: (  # noqa: E731
         F.sum(c) if c in df.columns else F.sum(F.lit(None).cast("long"))
     )
-    per_batch = df.groupBy("batch_id").agg(
-        F.first("batch_min_lsn").alias("min_lsn"),
-        F.first("batch_max_lsn").alias("max_lsn"),
-        F.first("batch_events_in").alias("events_in"),
-        F.sum("events_distinct").alias("events_distinct"),
-        opt("events_new").alias("events_new"),
+    # per (batch, manifest file) first — see check_invariants: in a
+    # routed-union read, batch_* columns are per-SLICE totals, so the
+    # batch totals are sums over slices, LSN bounds are min/max over
+    # slices, and the commit time is the LAST slice's commit
+    per_slice = df.withColumn("_src", F.input_file_name()).groupBy(
+        "batch_id", "_src"
+    ).agg(
+        F.first("batch_min_lsn").alias("s_min_lsn"),
+        F.first("batch_max_lsn").alias("s_max_lsn"),
+        F.first("batch_events_in").alias("s_events_in"),
+        F.sum("events_distinct").alias("s_events_distinct"),
+        opt("events_new").alias("s_events_new"),
         (
             F.first("batch_events_quarantined")
             if "batch_events_quarantined" in df.columns
             else F.max(F.lit(0)).cast("long")
-        ).alias("events_quarantined"),
-        F.sum("row_count").alias("keys_resolved"),
-        F.count("*").alias("buckets_touched"),
-        F.first("table_version").alias("table_version"),
-        F.first("committed_at_us").alias("committed_at_us"),
+        ).alias("s_events_quarantined"),
+        F.sum("row_count").alias("s_keys_resolved"),
+        F.count("*").alias("s_buckets_touched"),
+        F.first("table_version").alias("s_table_version"),
+        F.first("committed_at_us").alias("s_committed_at_us"),
+    )
+    per_batch = per_slice.groupBy("batch_id").agg(
+        F.min("s_min_lsn").alias("min_lsn"),
+        F.max("s_max_lsn").alias("max_lsn"),
+        F.sum("s_events_in").alias("events_in"),
+        F.sum("s_events_distinct").alias("events_distinct"),
+        F.sum("s_events_new").alias("events_new"),
+        F.sum("s_events_quarantined").alias("events_quarantined"),
+        F.sum("s_keys_resolved").alias("keys_resolved"),
+        F.sum("s_buckets_touched").alias("buckets_touched"),
+        F.max("s_table_version").alias("table_version"),
+        F.max("s_committed_at_us").alias("committed_at_us"),
     )
     w = Window.orderBy("committed_at_us")
     gap = F.col("committed_at_us") - F.lag("committed_at_us").over(w)

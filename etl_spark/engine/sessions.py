@@ -97,7 +97,7 @@ def _make_fn(gap_seconds: int):
 
 
 def streaming_sessionize(
-    stream: DataFrame, gap_seconds: int = 15
+    stream: DataFrame, gap_seconds: int = 60
 ) -> DataFrame:
     """Apply gap-based sessionization to a binlog stream (any op —
     I/U/D all count as conversation activity). Returns an update-mode
@@ -117,7 +117,12 @@ def streaming_sessionize(
     form (`operators.sessions`), which is order-insensitive."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    prepared = stream.select(
+    # default gap matches the batch twin (operators/sessions.py) so
+    # default-parameter callers of the two "identical semantics" forms
+    # cannot silently diverge. NULL event times are dropped up front:
+    # pandas would otherwise materialize NaN and astype(int64) would
+    # kill the whole stream (the batch twin filters identically).
+    prepared = stream.filter(F.col("op_ts").isNotNull()).select(
         "conv_id",
         "lsn",
         F.col("op_ts").cast("timestamp_ltz").cast("long").alias("es"),

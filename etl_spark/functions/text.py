@@ -22,8 +22,13 @@ ES_STOPWORDS = ["el", "la", "de", "y", "que", "en", "un", "es"]
 
 
 def tokens(col: Column) -> Column:
-    """Whitespace tokens of trimmed text (lowercased)."""
-    return F.split(F.lower(F.trim(col)), r"\s+")
+    """Whitespace tokens of trimmed text (lowercased). Empty and
+    whitespace-only text yields ZERO tokens: split('') returns ['']
+    and Spark's trim strips only 0x20 (not tab/newline), so the naive
+    form counted an empty doc as 1 token and a leading newline as an
+    extra empty token — filter the empties out of the array."""
+    arr = F.split(F.lower(col), r"\s+")
+    return F.filter(arr, lambda t: t != F.lit(""))
 
 
 def token_count(col: Column) -> Column:

@@ -35,6 +35,10 @@ def sessionize(
     instead of re-joining the event stream afterwards (a second full
     shuffle at 10^10-event scale).
     """
+    # NULL event times are excluded up front, matching the streaming
+    # twin (engine/sessions.py): a null gap would otherwise silently
+    # classify as same-session here while killing the stream there
+    df = df.filter(F.col(ts_col).isNotNull())
     w = Window.partitionBy(key_col).orderBy(order_col)
     epoch = F.col(ts_col).cast("timestamp_ltz").cast("long")
     gap = epoch - F.lag(epoch).over(w)

@@ -185,3 +185,31 @@ def test_quarantine_diverts_null_and_unknown_op(spark, tmp_path):
     dlq = read_quarantine(spark, cfg.quarantine_dir).toPandas()
     assert set(dlq["lsn"].astype(int)) == poisoned_lsns
     assert set(dlq["q_reason"]) == {"unknown_op"}
+
+
+def test_fully_poisoned_batch_keeps_lineage_contiguous(spark, tmp_path):
+    """A micro-batch whose EVERY event goes to the DLQ still writes a
+    zero-applied lineage manifest covering its LSN span: the invariant
+    checker must see a contiguous ledger (no phantom 'LSN gap') and
+    the quarantined count must stay in the audit accounting."""
+    g = GenConfig(n_convs=4, n_events=90, dup_rate=0.0, disorder_window=1, segment_size=30)
+    base = gen_base(g)
+    ops = gen_schema_ops(g)
+    binlog = gen_binlog(g, base, ops)
+    # poison ALL of segment 1 (the middle batch) with unknown versions
+    mid = binlog["_seg"] == 1
+    binlog.loc[mid, "schema_version"] = 7777
+    poisoned = set(binlog.loc[mid, "lsn"].astype(int))
+    seg_dir = str(tmp_path / "segments")
+    write_segments(binlog, seg_dir)
+    cfg = make_cfg(tmp_path, quarantine_dir=str(tmp_path / "dlq"))
+    bootstrap(spark, cfg, base)
+    replay(spark, cfg, seg_dir, ops)
+
+    valid = binlog[~binlog["lsn"].isin(poisoned)]
+    assert_frames_equal(final_state(spark, cfg), replay_oracle(base, valid, ops))
+    inv = lineage.check_invariants(spark, cfg.manifest_dir)  # must not raise
+    assert inv["batches"] == 3
+    assert inv["events_quarantined_total"] == len(poisoned)
+    assert inv["events_distinct_total"] == g.n_events - len(poisoned)
+    assert inv["max_lsn"] == g.n_events

@@ -268,3 +268,36 @@ def test_routed_reconcile_heals_lost_lineage(spark, tmp_path):
     assert invB["events_distinct_total"] == gB.n_events
     assert_frames_equal(final_state(spark, cfgA), replay_oracle(baseA, binA, []))
     assert_frames_equal(final_state(spark, cfgB), replay_oracle(baseB, binB, []))
+
+
+def test_routed_union_audit_sums_slices(spark, tmp_path):
+    """check_invariants / batch_metrics over a routed UNION of manifest
+    dirs must SUM per-slice batch totals (events_in, quarantined)
+    rather than picking one arbitrary route's value with first()."""
+    from etl_spark.engine.lineage import batch_metrics
+
+    gA = GenConfig(seed=61, n_convs=4, n_events=60, segment_size=20)
+    gB = GenConfig(seed=62, n_convs=3, n_events=60, segment_size=20)
+    baseA, baseB = gen_base(gA), gen_base(gB)
+    binA, binB = gen_binlog(gA, baseA, []), gen_binlog(gB, baseB, [])
+    binA["entity"] = "convA"
+    binB["entity"] = "convB"
+    combined = pd.concat([binA, binB], ignore_index=True)
+    seg_dir = str(tmp_path / "segments")
+    write_segments(combined, seg_dir)
+    cfgA, cfgB = _cfg(tmp_path, "A"), _cfg(tmp_path, "B")
+    routes = {"convA": (cfgA, [], TRANSCRIPTS), "convB": (cfgB, [], TRANSCRIPTS)}
+    bootstrap(spark, cfgA, baseA)
+    bootstrap(spark, cfgB, baseB)
+    run_replay_routed(spark, seg_dir, routes, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+
+    # per-entity-dense LSNs: both entities emit 1..60, so the union's
+    # distinct total is per-slice-summed 120, not one slice's 60
+    inv = lineage.check_invariants(spark, [cfgA.manifest_dir, cfgB.manifest_dir])
+    assert inv["events_distinct_total"] == gA.n_events + gB.n_events
+    m = batch_metrics(spark, [cfgA.manifest_dir, cfgB.manifest_dir]).toPandas()
+    # each batch's events_in is the SUM across both routes' slices
+    per_batch_expected = (
+        combined.groupby("_seg")["lsn"].count().sort_index().tolist()
+    )
+    assert m.sort_values("batch_id")["events_in"].tolist() == per_batch_expected
