@@ -32,4 +32,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # the transcripts-replay oracle reads the seeded generator's own
+    # binlog from a fixed parquet path — make sure it exists before
+    # DuckDB runs, regardless of whether the Spark query ran first
+    from etl_spark.contract import transcripts_fixture
+
+    transcripts_fixture()
     return dict(ORACLES)

@@ -8,9 +8,12 @@ money), deterministic tie-breaks, explicit casts so DuckDB output
 types match Spark's (count->BIGINT, SUM(BIGINT)->CAST BIGINT,
 row_number->INTEGER, len/length->INTEGER).
 
-Non-SQL-expressible entries (streaming replay, xxhash64-based simhash,
-mapInPandas stubs) ship without oracle SQL -> driver records the
-weaker rows-only check; their golden tests live in tests/.
+Every entry has an exact oracle — including the full CDC replays
+(cdc_events_replay derives the changelog from the events view in pure
+SQL; cdc_transcripts_replay folds the seeded generator's own binlog,
+written to a fixed parquet path by `transcripts_fixture`), SimHash
+(md5 hash mode, bit-identical across engines), and the real-codec
+multimodal decodes (pixel/sample arithmetic recomputed in SQL).
 """
 
 from __future__ import annotations
@@ -883,11 +886,72 @@ WHERE s.shared * 100 >= 80 * (sa.n_sh + sb.n_sh - s.shared)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (xxhash64-based — no SQL oracle; golden
-    tested against a pure-Python reference in tests/test_operators.py)."""
+    """SimHash near-dup pairs, banded-Hamming, in md5 hash mode: every
+    one of the 64 signature bits is a sign-of-vote-sum over md5 token
+    bits, so the DuckDB oracle below recomputes the full pipeline —
+    tokens → per-bit votes → signature → 16-bit bands → candidate join
+    → Hamming verify — bit-for-bit from the same hex nibbles. (The
+    default xxhash64 mode is the faster production path; same
+    pipeline, Spark-private hash.)"""
     docs = _t(spark, sf_dir, "documents")
-    sigs = DD.simhash64(docs, "doc_id", "text")
+    sigs = DD.simhash64(docs, "doc_id", "text", hash_fn="md5")
     return DD.simhash_pairs(sigs, max_hamming=3, bands=4)
+
+
+def _simhash_oracle_sql() -> str:
+    """Generate the (mechanical, 64-bit-wide) SimHash oracle: bit i of
+    a token's 64-bit hash lives in hex nibble 15 - i//4 of md5(token)
+    at in-nibble offset i%4 — exactly the bits Spark's md5 mode packs
+    via conv(substr(md5,1,8)) << 32 | conv(substr(md5,9,8))."""
+    votes = []
+    for i in range(64):
+        nibble = 15 - i // 4
+        div = 1 << (i % 4)
+        bit = (
+            f"(strpos('0123456789abcdef', substr(m, {nibble + 1}, 1)) - 1)"
+            f" // {div} % 2"
+        )
+        votes.append(f"sum({bit} * 2 - 1) AS v{i}")
+    keys = []
+    for b in range(4):
+        terms = " + ".join(
+            f"(CASE WHEN v{b * 16 + k} > 0 THEN {1 << k} ELSE 0 END)"
+            for k in range(16)
+        )
+        keys.append(f"{terms} AS k{b}")
+    nl = ",\n         "
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest(regexp_split_to_array(
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents),
+h AS (SELECT id, md5(tok) AS m FROM toks),
+votes AS (
+  SELECT id,
+         {nl.join(votes)}
+  FROM h GROUP BY id),
+sig AS (
+  SELECT id,
+         {nl.join(keys)}
+  FROM votes),
+bands AS (
+  SELECT id, 0 AS band, k0 AS bkey, k0, k1, k2, k3 FROM sig UNION ALL
+  SELECT id, 1, k1, k0, k1, k2, k3 FROM sig UNION ALL
+  SELECT id, 2, k2, k0, k1, k2, k3 FROM sig UNION ALL
+  SELECT id, 3, k3, k0, k1, k2, k3 FROM sig),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         bit_count(xor(a.k0, b.k0)) + bit_count(xor(a.k1, b.k1)) +
+         bit_count(xor(a.k2, b.k2)) + bit_count(xor(a.k3, b.k3)) AS hamming
+  FROM bands a JOIN bands b USING (band, bkey)
+  WHERE a.id < b.id)
+SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
+FROM cand WHERE hamming <= 3
+"""
+
+
+SQL_DEDUP_SIMHASH = _simhash_oracle_sql()
 
 
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1162,14 +1226,29 @@ FROM documents
 
 
 def q_mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas Arrow-batched decode plumbing (deterministic fake
-    codec — no SQL oracle; rows-only check + golden test)."""
-    docs = _t(spark, sf_dir, "documents")
-    media = MM.media_from_text(docs, "doc_id", "text")
-    feats = MM.decode_features(media, dim=16, fake=True)
-    return feats.select(
-        "media_id", "kind", "n_bytes", F.size("feature").alias("dim")
-    )
+    """Feature extraction through the REAL image codec: synthesize
+    spec-valid PNG bytes per even doc_id, decode the pixel plane back
+    (zlib inflate + unfilter, operators/imagecodec.py) via mapInPandas,
+    and emit a 16-bin intensity histogram per image. The oracle
+    recomputes every (bin, count) from the pixel arithmetic
+    (px_i = (doc_id*31 + i) % 256), so a hash match proves the feature
+    vector came from genuinely decoded pixels. (The byte-hash
+    `decode_features(fake=True)` stub remains in operators/multimodal
+    only for external-lib formats; it is no longer a contract entry.)"""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    media = MM.synthesize_images(docs, "doc_id")
+    return MM.image_histogram(media, bins=16)
+
+
+SQL_MM_DECODE_FEATURES = """
+WITH r AS (SELECT range AS i FROM range(0, 32*26)),
+px AS (
+  SELECT d.doc_id, (d.doc_id*31 + r.i) % 256 AS v
+  FROM documents d JOIN r ON r.i < (4 + d.doc_id % 29) * (4 + (d.doc_id*7) % 23)
+  WHERE d.doc_id % 2 = 0)
+SELECT doc_id AS media_id, CAST(v // 16 AS INTEGER) AS bin, count(*) AS cnt
+FROM px GROUP BY 1, 2
+"""
 
 
 def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1562,23 +1641,60 @@ SQL_CDC_EVENTS_REPLAY = SQL_CDC_MERGE
 
 
 # =====================================================================
-# Full CDC engine replay (rows-only: streaming + schema evolution;
-# golden-tested against the sequential oracle in tests/)
+# Full CDC engine replay over the transcripts entity (schema
+# evolution: add lang, rename tool->tool_name, widen ts). The seeded
+# generator is deterministic, so the fixture below writes the exact
+# base + binlog it replays to fixed parquet paths and the DuckDB
+# oracle folds the same log: dedupe re-emits by LSN, last-LSN-wins per
+# (conv_id, turn_idx), version-routed JSON payload decode (tool vs
+# tool_name, epoch-long vs ISO ts), text normalization, D drops keys.
 # =====================================================================
+
+_FIXTURE_DIR = os.path.join(tempfile.gettempdir(), "etl_spark_fixtures")
+TRX_BASE_PATH = os.path.join(_FIXTURE_DIR, "transcripts_base.parquet")
+TRX_LOG_PATH = os.path.join(_FIXTURE_DIR, "transcripts_binlog.parquet")
+_TRX_CACHE: list = []
+
+
+def transcripts_fixture():
+    """The seeded (deterministic) transcripts CDC fixture behind
+    `cdc_transcripts_replay` AND its oracle: generate once per
+    process, write base + binlog parquet to the fixed paths the oracle
+    SQL reads (atomic rename; bytes are a pure function of the seed,
+    so regeneration is idempotent). Returns (cfg, ops, base, binlog)."""
+    if not _TRX_CACHE:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from etl_spark.gen.binlog import (
+            GenConfig, gen_base, gen_binlog, gen_schema_ops,
+        )
+
+        g = GenConfig(
+            n_convs=20, n_events=300, dup_rate=0.05, disorder_window=8,
+            segment_size=100, schema_op_fracs=(0.25, 0.5, 0.75),
+        )
+        base = gen_base(g)
+        ops = gen_schema_ops(g)
+        binlog = gen_binlog(g, base, ops)
+        os.makedirs(_FIXTURE_DIR, exist_ok=True)
+        log_cols = binlog[
+            ["lsn", "op", "conv_id", "turn_idx", "schema_version", "payload"]
+        ]
+        for pdf, path in ((base, TRX_BASE_PATH), (log_cols, TRX_LOG_PATH)):
+            tmp = f"{path}.tmp-{os.getpid()}"
+            pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)
+            os.replace(tmp, path)
+        _TRX_CACHE.append((g, ops, base, binlog))
+    return _TRX_CACHE[0]
+
 
 def q_cdc_transcripts_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_spark.config import EngineConfig
     from etl_spark.engine.apply import apply_batch
-    from etl_spark.gen.binlog import GenConfig, gen_base, gen_binlog, gen_schema_ops
     from etl_spark.pipeline import bootstrap, final_state
 
-    g = GenConfig(
-        n_convs=20, n_events=300, dup_rate=0.05, disorder_window=8,
-        segment_size=100, schema_op_fracs=(0.25, 0.5, 0.75),
-    )
-    base = gen_base(g)
-    ops = gen_schema_ops(g)
-    binlog = gen_binlog(g, base, ops)
+    g, ops, base, binlog = transcripts_fixture()
     root = _tmp("replay")
     cfg = EngineConfig(
         table_root=os.path.join(root, "tbl"),
@@ -1594,6 +1710,41 @@ def q_cdc_transcripts_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         apply_batch(spark, cfg, ops, df, batch_id)
     return final_state(spark, cfg)
+
+
+# Struct-max fold (lexicographic on lsn, unique per key) keeps the
+# whole winning event — null-safe for D payloads (memory: max/arg_max
+# skip NULL values; the struct itself never is). make_timestamp(us)
+# over strptime-naive keeps both ts paths timezone-free.
+SQL_CDC_TRANSCRIPTS_REPLAY = f"""
+WITH ev AS (
+  SELECT lsn, op, conv_id, turn_idx, schema_version, payload,
+         row_number() OVER (PARTITION BY lsn ORDER BY lsn) AS rn
+  FROM read_parquet('{TRX_LOG_PATH}')),
+log AS (
+  SELECT conv_id, turn_idx, lsn, op, schema_version, payload
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT conv_id, turn_idx, 0 AS lsn, 'I' AS op, 1 AS schema_version,
+         to_json({{'role': role, 'text': text, 'tool': tool, 'ts': ts}}) AS payload
+  FROM read_parquet('{TRX_BASE_PATH}')),
+last AS (
+  SELECT conv_id, turn_idx,
+         max({{'l': lsn, 'op': op, 'v': schema_version, 'p': payload}}) AS m
+  FROM log GROUP BY conv_id, turn_idx)
+SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+       json_extract_string((m).p, '$.role') AS role,
+       trim(regexp_replace(nfc_normalize(json_extract_string((m).p, '$.text')),
+                           '\\s+', ' ', 'g')) AS text,
+       coalesce(json_extract_string((m).p, '$.tool_name'),
+                json_extract_string((m).p, '$.tool')) AS tool_name,
+       CASE WHEN (m).v >= 4
+            THEN strptime(json_extract_string((m).p, '$.ts'), '%Y-%m-%d %H:%M:%S')
+            ELSE make_timestamp(CAST(json_extract((m).p, '$.ts') AS BIGINT) * 1000000)
+       END AS ts,
+       json_extract_string((m).p, '$.lang') AS lang
+FROM last WHERE (m).op <> 'D'
+"""
 
 
 # =====================================================================
@@ -1685,6 +1836,7 @@ ORACLES = {
     "sim_ivf_topk": SQL_SIM_IVF_TOPK,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "mm_binary_metadata": SQL_MM_BINARY,
+    "mm_decode_features": SQL_MM_DECODE_FEATURES,
     "mm_decode_real": SQL_MM_DECODE_REAL,
     "mm_decode_audio": SQL_MM_DECODE_AUDIO,
     "mm_decode_video": SQL_MM_DECODE_VIDEO,
@@ -1693,6 +1845,6 @@ ORACLES = {
     "cdc_changes_feed": SQL_CDC_CHANGES_FEED,
     "cdc_incremental_agg": SQL_CDC_INCREMENTAL_AGG,
     "cdc_events_replay": SQL_CDC_EVENTS_REPLAY,
-    # dedup_simhash, mm_decode_features, cdc_transcripts_replay:
-    # intentionally no SQL oracle (non-SQL-expressible; rows-only)
+    "cdc_transcripts_replay": SQL_CDC_TRANSCRIPTS_REPLAY,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
 }

@@ -343,28 +343,47 @@ def minhash_lsh_pairs(
 
 
 # ------------------------------------------------------------- simhash
-def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document from token xxhash64 bits.
+def simhash64(
+    df: DataFrame, id_col: str, text_col: str, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """64-bit SimHash per document from per-token 64-bit hash bits.
 
     For each of 64 bit positions, sum +1/-1 votes across the document's
     distinct tokens (bit set -> +1); sign of the sum is the output bit.
     Pure builtin expressions: explode tokens -> per-token bit array via
     shiftright/bitwise-and -> groupBy sum -> pack bits. Near-dup pairs
     are found by Hamming distance on the signature (bit_count(xor)).
-    No SQL oracle (xxhash64 is Spark-specific); verified against a
-    pure-Python reference in tests/test_operators.py.
+
+    `hash_fn` picks the token hash:
+    - "xxhash64" (default): Spark's native 64-bit hash — fastest, but
+      Spark-private, so no cross-engine oracle;
+    - "md5": the top 64 bits of md5(token), packed from two 32-bit hex
+      halves. ~Same quality (md5 bits are uniform), slightly slower,
+      and *exactly reproducible* in any engine with md5 — the DuckDB
+      oracle (contract.py SQL_DEDUP_SIMHASH) recomputes every bit from
+      the same hex nibbles, making the whole banded-Hamming pipeline
+      hash-verifiable. Both modes are golden-tested against a
+      pure-Python reference in tests/test_operators.py.
     """
     from etl_spark.operators.common import spread
 
     df = spread(df)
-    toks = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("tok"),
-        )
-        .distinct()
-        .withColumn("h", F.xxhash64("tok"))
-    )
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("tok"),
+    ).distinct()
+    if hash_fn == "xxhash64":
+        toks = toks.withColumn("h", F.xxhash64("tok"))
+    elif hash_fn == "md5":
+        # top 64 bits of md5 as a long: two 32-bit hex halves; hi<<32
+        # has zero low bits so + is exact bitwise concatenation (wraps
+        # two's-complement for hi >= 2^31, which is fine bitwise)
+        m = F.md5("tok")
+        hi = F.conv(F.substring(m, 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(m, 9, 8), 16, 10).cast("long")
+        toks = toks.withColumn("h", F.shiftleft(hi, 32) + lo)
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     votes = toks.select(
         "id",
         *[
@@ -487,6 +506,21 @@ def connected_components(
         labels = nxt.drop("_chg")
         if n_changed == 0:
             break
+    else:
+        # labels were still moving when the round budget ran out: the
+        # graph diameter exceeds max_iter (e.g. a chain of near-dup
+        # boilerplate documents). Returning here would hand callers
+        # wrong component ids with no signal — corpus curation would
+        # then canonicalize/drop the WRONG documents — so fail loud.
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge after {max_iter} "
+            f"rounds ({n_changed} labels still changing): graph "
+            "diameter exceeds max_iter. Raise max_iter (rounds needed "
+            "= diameter for min-label propagation) or contract "
+            "high-diameter graphs first (Kiveris et al. large-star/"
+            "small-star)."
+        )
     out = labels.select(F.col("id"), F.col("comp").alias("component_id"))
     _LIVE_CACHES.append(labels)
     return out

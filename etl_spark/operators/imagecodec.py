@@ -169,3 +169,44 @@ def decode_image(payload: bytes) -> dict:
     if b[:2] == b"\xff\xd8":
         return _decode_jpeg(b)
     raise ValueError("unrecognized image format (not PNG or JPEG)")
+
+
+def decode_png_pixels(payload: bytes) -> bytes:
+    """Raw grayscale pixel bytes of an 8-bit filter-0 PNG — the same
+    chunk walk + zlib inflate + unfilter as `decode_image`, but
+    returning the pixel plane itself (row-major, width*height bytes)
+    for feature extraction (e.g. intensity histograms). Raises
+    ValueError for non-PNG payloads or unsupported color/filter modes
+    — callers route other formats to their own decoders."""
+    if payload is None:
+        raise ValueError("null payload")
+    b = bytes(payload)
+    if not b.startswith(PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos = len(PNG_SIG)
+    width = height = bit_depth = color_type = None
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type = struct.unpack(">IIBB", data[:10])
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("png: missing IHDR")
+    if bit_depth != 8 or color_type != 0:
+        raise ValueError("png: pixel decode supports 8-bit grayscale only")
+    raw = zlib.decompress(bytes(idat))
+    stride = width + 1  # 1 filter byte per scanline
+    out = bytearray()
+    for y in range(height):
+        row = raw[y * stride : (y + 1) * stride]
+        if row[0] != 0:
+            raise ValueError(f"png: unsupported filter type {row[0]}")
+        out += row[1:]
+    return bytes(out)

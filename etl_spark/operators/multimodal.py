@@ -14,9 +14,12 @@ Design for a 100 TB media corpus:
   round-trip incl. sample-sum decode): `synthesize_images` /
   `synthesize_audio` emit genuine bytes and `decode_image_meta` /
   `decode_audio_meta` / `decode_features(..., fake=False)` decode them
-  back; video codecs would slot into the same mapInPandas shape but
-  need libs this container lacks, so `decode_features(fake=True)`
-  keeps the deterministic byte-hash stand-in for that kind.
+  back — and REAL for video (operators/videocodec.py — AVI/MJPEG RIFF
+  round-trip incl. per-frame chunk measurement); `image_histogram`
+  runs the REAL pixel decode into an intensity-histogram feature.
+  `decode_features(fake=True)` keeps a deterministic byte-hash
+  stand-in only for external-lib formats (entropy-coded JPEG scans,
+  H.264) this container cannot decode.
 
 The reference treats every payload as JSON text (no binary columns);
 this is training-pipeline surface beyond it.
@@ -123,6 +126,48 @@ def decode_features(
             )
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+HISTOGRAM_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("bin", T.IntegerType(), False),
+        T.StructField("cnt", T.LongType(), False),
+    ]
+)
+
+
+def image_histogram(media: DataFrame, bins: int = 16) -> DataFrame:
+    """Intensity-histogram features through the REAL PNG codec: decode
+    each payload's pixel plane (operators/imagecodec.py — chunk walk,
+    zlib inflate, unfilter) and bin the grayscale values, exploded to
+    (media_id, bin, cnt) with empty bins omitted. mapInPandas over
+    Arrow batches, numpy-vectorized binning per image — the canonical
+    feature-extraction shape for a 100 TB media corpus: partition-
+    parallel, fixed output schema, payloads never touch the driver."""
+    if 256 % bins:
+        raise ValueError("bins must divide 256")
+    width = 256 // bins
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids: list[int] = []
+            bns: list[int] = []
+            cnts: list[int] = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = np.frombuffer(
+                    imagecodec.decode_png_pixels(payload), dtype=np.uint8
+                )
+                counts = np.bincount(px // width, minlength=bins)
+                for b in np.nonzero(counts)[0]:
+                    ids.append(int(mid))
+                    bns.append(int(b))
+                    cnts.append(int(counts[b]))
+            yield pd.DataFrame({"media_id": ids, "bin": bns, "cnt": cnts})
+
+    return media.mapInPandas(run, HISTOGRAM_SCHEMA)
 
 
 IMAGE_META_SCHEMA = T.StructType(
