@@ -1194,20 +1194,17 @@ class LakeTable:
         reference has no erase path at all — its deletes are per-row
         ALTER ... DELETE mutations (/root/reference/src/pipeline/core/
         spark.py:157-177 analog surface)."""
-        m = self.manifest()
-        if batch_key is not None and batch_key in m.committed_batches:
-            return m.version
-        live = self.read(include_system=True)
-        touched = sorted(
-            r[0]
-            for r in live.filter(cond)
-            .select(self.bucket_expr(m).alias("b"))
-            .distinct()
-            .collect()
-        )
-        if not touched:
-            return m.version
-        return self._erase_with_retry(cond, touched, batch_key)
+        def discover(fresh: Manifest) -> list[int]:
+            live = self.read(include_system=True)
+            return sorted(
+                r[0]
+                for r in live.filter(cond)
+                .select(self.bucket_expr(fresh).alias("b"))
+                .distinct()
+                .collect()
+            )
+
+        return self._erase_with_retry(cond, discover, batch_key)
 
     def erase_keys(self, values: list, batch_key: str | None = None) -> int:
         """Erase all turns of the given `bucket_by` values (e.g. every
@@ -1219,26 +1216,35 @@ class LakeTable:
             return m.version
         if not values:
             return m.version
-        touched = self._buckets_for_values(m, values)
         return self._erase_with_retry(
-            F.col(m.bucket_by).isin(values), touched, batch_key
+            F.col(m.bucket_by).isin(values),
+            lambda fresh: self._buckets_for_values(fresh, values),
+            batch_key,
         )
 
     def _erase_with_retry(
-        self, cond, touched: list[int], batch_key: str | None, attempts: int = 5
+        self, cond, discover, batch_key: str | None, attempts: int = 5
     ) -> int:
         """Optimistic-concurrency wrapper for erase commits racing a
         live stream's merges: unlike compaction (advisory — skips a
         lost cycle), an erase MUST land, so on an O_EXCL manifest
         collision it re-reads the fresh manifest and re-runs the
-        bucket rewrite against it (the predicate and bucket set are
-        stable; the rewritten content is recomputed from the fresh
-        snapshot, so a merge that won the race is preserved). Bounded
+        bucket rewrite against it (the rewritten content is recomputed
+        from the fresh snapshot, so a merge that won the race is
+        preserved). `discover(manifest) -> buckets` re-runs PER
+        ATTEMPT: a concurrent merge can land predicate-matching rows
+        in buckets the pre-race snapshot never touched, so pinning the
+        initial bucket set would let those rows survive an erase that
+        reports success (for the key-based form discovery is just the
+        hash of the values — stable, but recomputing is free). Bounded
         retries, then the collision propagates."""
         last: Exception | None = None
         for _ in range(attempts):
             m = self.manifest()
             if batch_key is not None and batch_key in m.committed_batches:
+                return m.version
+            touched = discover(m)
+            if not touched:
                 return m.version
             try:
                 return self._erase_buckets(m, cond, touched, batch_key)

@@ -22,12 +22,14 @@ Scale design (10^10 events):
   per-key memory blowup; a hot key degrades to the same single-key
   sort any windowed op pays (salt upstream if one key dominates, as
   engine/skew.py does for the CDC resolve).
-- Ordering is total and deterministic: (ts, side, right tiebreak
-  columns), with the right row sorting BEFORE the left row at equal
-  ts so backward matches are inclusive — engine-portable results
-  whenever (keys, ts) is unique per input, which the caller should
-  guarantee (true for LSN-stamped CDC streams and event logs with
-  microsecond timestamps).
+- Ordering is total and deterministic: (ts, side, right payload
+  struct), with the right row sorting BEFORE the left row at equal ts
+  so backward matches are inclusive, and the greatest right payload
+  winning when several right rows share (keys, ts) — engine-portable
+  results for any orderable payload types. (A payload containing a
+  non-orderable column, e.g. a map, is rejected by the analyzer —
+  project it out of `right_cols`, or pre-serialize it to an orderable
+  form.)
 
 The reference has no as-of operator (its joins are equality-only
 LEFT ANTI/SEMI batch diffs, /root/reference/src/pipeline/core/
@@ -98,10 +100,17 @@ def asof_join(
     # equal ts (inclusive match), carry the last right payload forward.
     # Forward: the mirror — descending timeline, so "last" is the
     # nearest following right row.
+    # The trailing `_r` term totalizes the order when several RIGHT
+    # rows share (keys, ts): structs compare lexicographically, so the
+    # greatest right payload wins deterministically in both directions
+    # (asc + carry-last == max). Without it the carried match at a
+    # duplicated right timestamp is partition-sort luck. Left rows all
+    # have null `_r` and are already separated by `_side`, so the term
+    # only ever orders rights among themselves.
     if direction == "backward":
-        order = [F.col("_ts").asc(), F.col("_side").asc()]
+        order = [F.col("_ts").asc(), F.col("_side").asc(), F.col("_r").asc()]
     else:
-        order = [F.col("_ts").desc(), F.col("_side").asc()]
+        order = [F.col("_ts").desc(), F.col("_side").asc(), F.col("_r").asc()]
     w = (
         Window.partitionBy(*on)
         .orderBy(*order)

@@ -450,76 +450,79 @@ def connected_components(
     are the identity mapping).
 
     Algorithm: min-label propagation. Every node starts labeled with
-    itself; each round every node takes the min of its own label and
-    its neighbors' labels, until a round changes nothing. Each round
-    is one shuffle join (edges x labels, both sides partitioned on the
-    join key) plus one partial-aggregated groupBy — no driver-side
-    graph state, no collect. Rounds needed = graph diameter; near-dup
-    graphs are dense clusters with tiny diameters (2-4), so this
-    outperforms the O(log^2 n)-round star-contraction algorithms
-    (Kiveris et al., "Connected Components in MapReduce and Beyond")
-    unless chains are pathological — for a chain-shaped corpus swap in
-    large-star/small-star behind the same signature. The convergence
-    check rides the same aggregation (one count action per round on
-    the already-shuffled frame), and each round's labels are persisted
-    and the previous round's released, so lineage stays O(1) deep
-    instead of growing by two joins per round (the classic iterative-
-    DataFrame trap that re-executes the whole prefix every action).
+    itself; each round every node takes the min of its neighbors'
+    labels over an edge set that includes a self-loop per node — one
+    shuffle join (edges x labels, both sides partitioned on the join
+    key) plus one partial-aggregated groupBy, no driver-side graph
+    state, no collect. The self-loop trick makes each round reference
+    `labels` exactly ONCE: the textbook two-reference form
+    (join for the neighbor min + self-join/union for the node's own
+    label) DOUBLES the logical plan every round — exponential
+    analyzer/AQE cost that OOMs the driver in plan stringification at
+    diameter ~12 long before any data moves. With one reference the
+    logical plan grows linearly (≤ max_iter joins), and per-round
+    persist + previous-round unpersist keeps the *physical* lineage
+    O(1) so nothing re-executes.
+
+    Convergence rides a scalar fixpoint: labels are monotone
+    non-increasing, so sum(comp) (exact decimal) is strictly
+    decreasing until the fixpoint and equal at it — one tiny aggregate
+    action per round on the already-persisted frame. If the sum is
+    still moving after max_iter rounds the graph diameter exceeds the
+    budget and the function RAISES rather than returning silently
+    wrong component ids (corpus curation would canonicalize the wrong
+    docs). Rounds needed = graph diameter; near-dup graphs are dense
+    clusters with tiny diameters (2-4), so this outperforms the
+    O(log^2 n)-round star-contraction algorithms (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") unless chains are
+    pathological — for a chain-shaped corpus raise max_iter (rounds
+    are cheap: one key-partitioned join each) or contract with
+    large-star/small-star first.
     """
     # persist the (possibly expensive) pair pipeline BEFORE the
-    # forward/reverse union references it twice — without this the
+    # forward/reverse/self-loop union references it — without this the
     # whole upstream candidate join runs once per union branch
     p = _track_persist(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     )
+    und = p.union(p.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    nodes = und.select("src").distinct()
     edges = _track_persist(
-        p.union(p.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
+        und.union(nodes.select("src", F.col("src").alias("dst"))).distinct()
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("comp", F.col("id"))
-        .persist()
-    )
+    labels = nodes.select(
+        F.col("src").alias("id"), F.col("src").alias("comp")
+    ).persist()
+
+    def _sum(df: DataFrame) -> object:
+        # exact decimal sum: overflow-proof fixpoint scalar for any
+        # id range (10^9 nodes x 10^19 max id << 10^38)
+        return df.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+
+    prev = _sum(labels)
     for _ in range(max_iter):
-        nbr_min = (
+        nxt = (
             edges.join(labels, edges["src"] == labels["id"])
             .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("comp").alias("nbr_comp"))
-        )
-        nxt = (
-            labels.join(nbr_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
-                ).alias("comp"),
-                (F.coalesce("nbr_comp", F.col("comp")) < F.col("comp")).alias(
-                    "_chg"
-                ),
-            )
+            .agg(F.min("comp").alias("comp"))
             .persist()
         )
-        n_changed = nxt.filter(F.col("_chg")).count()
+        cur = _sum(nxt)
         labels.unpersist()
-        labels = nxt.drop("_chg")
-        if n_changed == 0:
+        labels = nxt
+        if cur == prev:
             break
+        prev = cur
     else:
-        # labels were still moving when the round budget ran out: the
-        # graph diameter exceeds max_iter (e.g. a chain of near-dup
-        # boilerplate documents). Returning here would hand callers
-        # wrong component ids with no signal — corpus curation would
-        # then canonicalize/drop the WRONG documents — so fail loud.
         labels.unpersist()
         raise RuntimeError(
             f"connected_components did not converge after {max_iter} "
-            f"rounds ({n_changed} labels still changing): graph "
-            "diameter exceeds max_iter. Raise max_iter (rounds needed "
-            "= diameter for min-label propagation) or contract "
-            "high-diameter graphs first (Kiveris et al. large-star/"
-            "small-star)."
+            "rounds (labels still moving): graph diameter exceeds "
+            "max_iter. Raise max_iter (rounds needed = diameter for "
+            "min-label propagation) or contract high-diameter graphs "
+            "first (Kiveris et al. large-star/small-star)."
         )
     out = labels.select(F.col("id"), F.col("comp").alias("component_id"))
     _LIVE_CACHES.append(labels)

@@ -137,3 +137,31 @@ def test_mv_incremental_across_erase_commit(spark, tmp_path):
     got = _mv(spark, mv_dir)
     pd.testing.assert_frame_equal(got, _direct(t))
     assert "a" not in set(got["conv_id"])  # erased group fully retired
+
+
+def test_mv_rollback_in_window_forces_full_resync(spark, tmp_path):
+    """A rollback commit inside the refresh window rewinds the base
+    while the change feed stays silent — incremental folding would
+    keep the undone rows in the aggregate. refresh() must detect the
+    rollback prop and fall back to a full recompute."""
+    t = _mk(spark, tmp_path, "cow")
+    mv_dir = str(tmp_path / "mv")
+    merge_into(t, _src(spark, [
+        dict(conv_id="a", turn_idx=0, text="a0", lsn=1, op="U"),
+        dict(conv_id="b", turn_idx=1, text="b1", lsn=2, op="U"),
+    ]), batch_key="b0")
+    good = t.current_version()
+    refresh(t, mv_dir, DIMS, SUMS)
+
+    merge_into(t, _src(spark, [
+        dict(conv_id="a", turn_idx=7, text="oops", lsn=10, op="U"),
+        dict(conv_id="z", turn_idx=3, text="z3", lsn=11, op="U"),
+    ]), batch_key="bad")
+    refresh(t, mv_dir, DIMS, SUMS)  # MV now includes the bad commit
+    t.rollback(good)
+
+    s = refresh(t, mv_dir, DIMS, SUMS)
+    assert s["mode"] == "full"
+    got = _mv(spark, mv_dir)
+    pd.testing.assert_frame_equal(got, _direct(t))
+    assert "z" not in set(got["conv_id"])  # undone insert retired

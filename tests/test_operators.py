@@ -434,3 +434,84 @@ def test_synthesize_and_decode_video_spark(spark, docs):
         assert r["frames_bytes_sum"] == sum(
             100 + ((doc_id * 17 + 7 * i) % 50)
             for i in range(5 + doc_id % 20))
+
+
+def test_simhash_md5_mode_matches_python_reference(spark, docs):
+    """md5 hash mode (the oracle-reproducible contract path): the
+    packed signature must equal the pure-Python fold over the top 64
+    bits of md5(token) — proving the conv/shiftleft hex packing and
+    the DuckDB nibble oracle share one bit layout."""
+    sigs = {
+        r["id"]: r["simhash"] & 0xFFFFFFFFFFFFFFFF
+        for r in DD.simhash64(docs, "doc_id", "text", hash_fn="md5").collect()
+    }
+    for doc_id, txt in DOCS:
+        exp = _py_simhash(
+            txt, lambda t: int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+        )
+        assert sigs[doc_id] == exp, doc_id
+    assert sigs[1] == sigs[2]  # exact dups agree in any hash mode
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    """A chain deeper than max_iter must fail loud, not hand back
+    wrong component ids (corpus curation would canonicalize the wrong
+    docs). The same graph converges with enough rounds."""
+    chain = [(i, i + 1) for i in range(12)]  # diameter 12
+    pairs = spark.createDataFrame(chain, ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        DD.connected_components(pairs, max_iter=3)
+    got = {
+        (r["id"], r["component_id"])
+        for r in DD.connected_components(pairs, max_iter=20).collect()
+    }
+    assert got == {(i, 0) for i in range(13)}
+    DD.release_caches()
+
+
+def test_asof_join_duplicate_right_ts_is_deterministic(spark):
+    """Several right rows sharing (key, ts): the greatest payload
+    struct must win, in both directions — not partition-sort luck."""
+    from etl_spark.operators.asof import asof_join
+
+    TS = "2024-01-01 00:{:02d}:00"
+    left = spark.createDataFrame(
+        [(1, TS.format(5)), (1, TS.format(1))], ["k", "ts"]
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, TS.format(3), "a"), (1, TS.format(3), "b"), (1, TS.format(3), "c")],
+        ["k", "ts", "v"],
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "v")
+
+    for _ in range(3):  # stable across repeated runs
+        back = {
+            (r["k"], r["ts"].minute): r["v_r"]
+            for r in asof_join(left, right, on=["k"], left_ts="ts").collect()
+        }
+        assert back == {(1, 5): "c", (1, 1): None}
+        fwd = {
+            (r["k"], r["ts"].minute): r["v_r"]
+            for r in asof_join(
+                left, right, on=["k"], left_ts="ts", direction="forward"
+            ).collect()
+        }
+        assert fwd == {(1, 5): None, (1, 1): "c"}
+
+
+def test_image_histogram_matches_pixel_arithmetic(spark, docs):
+    """image_histogram through the real PNG decode equals the direct
+    histogram of the synthesis arithmetic px_i = (id*31 + i) % 256."""
+    media = MM.synthesize_images(docs.filter(F.col("doc_id") % 2 == 0), "doc_id")
+    got = {
+        (r["media_id"], r["bin"]): r["cnt"]
+        for r in MM.image_histogram(media, bins=16).collect()
+    }
+    want = {}
+    for mid, _ in DOCS:
+        if mid % 2:
+            continue
+        w, h = 4 + mid % 29, 4 + (mid * 7) % 23
+        for i in range(w * h):
+            b = (mid * 31 + i) % 256 // 16
+            want[(mid, b)] = want.get((mid, b), 0) + 1
+    assert got == want
