@@ -36,6 +36,7 @@ def ensure_corpus(
     segment_size: int,
     zipf_alpha: float = 1.2,
     patch_rate: float = 0.0,
+    routes: int = 0,
 ):
     """Generate (or reuse) the deterministic binlog corpus.
     `zipf_alpha` > ~2 makes a handful of conversations carry most of
@@ -44,11 +45,17 @@ def ensure_corpus(
         GenConfig, gen_base, gen_binlog, gen_schema_ops, write_segments,
     )
 
-    tag = f"seed{seed}_n{n_events}_seg{segment_size}"
+    from etl_spark.gen.binlog import GEN_VERSION
+
+    # GEN_VERSION busts corpora cached by an older generator (same
+    # config, different bytes — e.g. the round-4 vectorized draw order)
+    tag = f"seed{seed}_n{n_events}_seg{segment_size}_g{GEN_VERSION}"
     if zipf_alpha != 1.2:
         tag += f"_z{zipf_alpha}"
     if patch_rate:
         tag += f"_pr{patch_rate}"
+    if routes:
+        tag += f"_r{routes}"
     root = os.path.join(work_dir, f"corpus_{tag}")
     seg_dir = os.path.join(root, "segments")
     base_path = os.path.join(root, "base.parquet")
@@ -70,6 +77,13 @@ def ensure_corpus(
         base = gen_base(g)
         ops = gen_schema_ops(g)
         binlog = gen_binlog(g, base, ops)
+        if routes:
+            # shared multi-entity log: a conversation's events all
+            # carry one entity tag (route = conv index mod N), the
+            # reference's topic-per-table shape over ONE global LSN
+            binlog["entity"] = (
+                "e" + (binlog["conv_id"].str[5:].astype(int) % routes).astype(str)
+            )
         write_segments(binlog, seg_dir)
         base.to_parquet(base_path, index=False)
         with open(os.path.join(root, "_DONE"), "w") as fh:
@@ -91,9 +105,10 @@ def run(args) -> dict:
     zipf = getattr(args, "zipf_alpha", 1.2)
     salt = getattr(args, "salt_buckets", 0)
     patch_rate = getattr(args, "patch_rate", 0.0)
+    routes_n = getattr(args, "routes", 0)
     seg_dir, base_path, ops = ensure_corpus(
         args.work_dir, args.seed, args.n_events, args.segment_size, zipf,
-        patch_rate,
+        patch_rate, routes_n,
     )
 
     run_dir = os.path.join(args.work_dir, f"run_p{args.parallelism}")
@@ -138,6 +153,79 @@ def run(args) -> dict:
         replay(spark, wcfg, wseg, wops)
     t_warm = time.time() - t_w
 
+    def _checksum(final):
+        canon = F.concat_ws(
+            "\x1f", *[F.col(c).cast("string") for c in sorted(final.columns)]
+        )
+        row = final.agg(
+            F.count("*").alias("rows"), F.sum(F.crc32(canon)).alias("checksum")
+        ).collect()[0]
+        return int(row["rows"]), int(row["checksum"] or 0)
+
+    if routes_n:
+        # shared-log routed replay: one streaming query, one
+        # checkpoint, routes_n ledgered tables (reference's 18-topic
+        # shape). The lineage gap check runs on the UNION of route
+        # manifests — each entity's ledger sees a sparse slice of the
+        # single global LSN space (engine/route.py docstring).
+        from etl_spark.cdc_schema import TRANSCRIPTS
+        from etl_spark.engine.route import run_replay_routed
+
+        base = pd.read_parquet(base_path)
+        ent_of = base["conv_id"].str[5:].astype(int) % routes_n
+        routes = {}
+        t0 = time.time()
+        for i in range(routes_n):
+            name = f"e{i}"
+            rcfg = EngineConfig(
+                table_root=os.path.join(run_dir, name, "tbl"),
+                manifest_dir=os.path.join(run_dir, name, "manifest"),
+                checkpoint_dir=os.path.join(run_dir, name, "ckpt"),
+                num_buckets=args.num_buckets,
+                max_files_per_trigger=args.max_files_per_trigger,
+                salt_buckets=salt,
+            )
+            bootstrap(spark, rcfg, base[ent_of == i])
+            routes[name] = (rcfg, ops, TRANSCRIPTS)
+        t_boot = time.time() - t0
+
+        t1 = time.time()
+        run_replay_routed(
+            spark, seg_dir, routes,
+            checkpoint_dir=os.path.join(run_dir, "ckpt_shared"),
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+        t_replay = time.time() - t1
+
+        entity_checksums = {}
+        total_rows, total_sum = 0, 0
+        for name, (rcfg, _, _) in sorted(routes.items()):
+            n_rows, cks = _checksum(LakeTable(spark, rcfg.table_root).read())
+            entity_checksums[name] = cks
+            total_rows += n_rows
+            total_sum += cks
+        lin = lineage.check_invariants(
+            spark, [rcfg.manifest_dir for rcfg, _, _ in routes.values()]
+        )
+        out = {
+            "job": "cdc_replay_routed",
+            "routes": routes_n,
+            "parallelism": args.parallelism,
+            "n_events": args.n_events,
+            "events_distinct": lin["events_distinct_total"],
+            "batches": lin["batches"],
+            "warmup_s": round(t_warm, 2),
+            "bootstrap_s": round(t_boot, 2),
+            "replay_s": round(t_replay, 2),
+            "events_per_sec": round(lin["events_distinct_total"] / t_replay, 1),
+            "final_rows": total_rows,
+            "state_checksum": total_sum,
+            "entity_checksums": entity_checksums,
+        }
+        if args.stop_session:
+            spark.stop()
+        return out
+
     t0 = time.time()
     bootstrap(spark, cfg, pd.read_parquet(base_path))
     t_boot = time.time() - t0
@@ -147,13 +235,7 @@ def run(args) -> dict:
     t_replay = time.time() - t1
 
     table = LakeTable(spark, cfg.table_root)
-    final = table.read()
-    canon = F.concat_ws(
-        "\x1f", *[F.col(c).cast("string") for c in sorted(final.columns)]
-    )
-    stats = final.agg(
-        F.count("*").alias("rows"), F.sum(F.crc32(canon)).alias("checksum")
-    ).collect()[0]
+    rows_n, cks = _checksum(table.read())
     lin = lineage.check_invariants(spark, cfg.manifest_dir)
 
     out = {
@@ -166,8 +248,8 @@ def run(args) -> dict:
         "bootstrap_s": round(t_boot, 2),
         "replay_s": round(t_replay, 2),
         "events_per_sec": round(lin["events_distinct_total"] / t_replay, 1),
-        "final_rows": int(stats["rows"]),
-        "state_checksum": int(stats["checksum"]),
+        "final_rows": rows_n,
+        "state_checksum": cks,
     }
     if args.stop_session:
         spark.stop()
@@ -193,6 +275,10 @@ def main() -> None:
     p.add_argument("--patch-rate", type=float, default=0.0,
                    help="fraction of updates emitted as partial-image "
                         "op='P' patches (engine runs patch_ops + CoW)")
+    p.add_argument("--routes", type=int, default=0,
+                   help="N>0: shared multi-entity log routed into N "
+                        "tables through one streaming query "
+                        "(engine.route); per-entity checksums reported")
     p.add_argument(
         "--stop-session", action=argparse.BooleanOptionalAction, default=True
     )

@@ -75,32 +75,48 @@ def _commit_changes(
         return None
     is_erase = m_new.props.get("erase_commit") == v
     m_old = mf(v - 1)
-    new_paths = {f.path for f in m_new.files}
-    old_paths = {f.path for f in m_old.files}
-    buckets = {f.bucket for f in m_new.files if f.path not in old_paths} | {
-        f.bucket for f in m_old.files if f.path not in new_paths
-    }
+    # touched-bucket discovery is pure POINTER comparison when both
+    # snapshots carry the two-level index: a bucket's group pointer
+    # changes iff the commit touched it (group files are immutable and
+    # uniquely named), so the diff costs O(num_buckets) string
+    # compares with zero group loads for carried-over buckets. When
+    # either side is a flat (format v1) snapshot — or empty — the
+    # path-set diff keeps exactness across the upgrade commit.
+    if m_new.bucket_ptrs and m_old.bucket_ptrs:
+        keys = m_new.buckets() | m_old.buckets()
+        buckets = {
+            b
+            for b in keys
+            if m_new.bucket_ptrs.get(b) != m_old.bucket_ptrs.get(b)
+        }
+    else:
+        new_paths = {f.path for f in m_new.files}
+        old_paths = {f.path for f in m_old.files}
+        buckets = {f.bucket for f in m_new.files if f.path not in old_paths} | {
+            f.bucket for f in m_old.files if f.path not in new_paths
+        }
     if not buckets:
         return None
 
     mor = table.write_mode(m_new) == "mor"
 
-    def side(m_files, alias: str) -> DataFrame:
-        files = [f for f in m_files if f.bucket in buckets]
-        df = table._read_files(m_new, files)
+    def side(m_side, alias: str) -> DataFrame:
+        files = m_side.files_for(buckets)
+        if mor:
+            df = table._scan_resolved(m_new, files)
+        else:
+            df = table._read_files(m_new, files)
         if df is None:
             df = table.spark.createDataFrame(
                 [], m_new.schema.struct(with_system=True)
             )
-        elif mor:
-            df = table._resolve_versions(df, m_new)
         non_key = [c for c in df.columns if c not in m_new.key]
         return df.select(
             *m_new.key, F.struct(*[F.col(c) for c in non_key]).alias(alias)
         )
 
-    o = side(m_old.files, "_o")
-    n = side(m_new.files, "_n")
+    o = side(m_old, "_o")
+    n = side(m_new, "_n")
     j = o.join(n, list(m_new.key), "full_outer")
 
     def live(s: str):

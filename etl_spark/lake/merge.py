@@ -99,11 +99,27 @@ def merge_into(
             props_update = {"patch_deltas": True}
         cols += [F.col(LSN_COL).alias(SYS_LSN), is_del.alias(SYS_DELETED)]
         delta = source.select(*cols).withColumn(BUCKET_COL, table.bucket_expr(m))
+        # per-file patch bit: a full-image batch stamps every staged
+        # file has_patches=False; a patch-capable batch runs one tiny
+        # agg (<= num_buckets rows back) to flag exactly the buckets
+        # that received an op='P' row, so the MoR read path folds only
+        # those buckets (patch-free buckets keep the cheap max_by scan)
+        if set_flags:
+            patch_buckets = {
+                r[0]
+                for r in delta.filter(F.col(SYS_PATCHED).isNotNull())
+                .select(BUCKET_COL)
+                .distinct()
+                .collect()
+            }
+        else:
+            patch_buckets = set()
         return table.append_files(
             delta,
             batch_key=batch_key,
             batch_stats=batch_stats,
             props_update=props_update,
+            patch_buckets=patch_buckets,
         )
 
     # Persist the source across the two CoW consumers (bucket-discovery
@@ -203,6 +219,7 @@ def merge_into(
             # batch and the checkpoint replay re-plans it against the
             # fresh snapshot (idempotent via the ledger).
             expected_version=m.version,
+            patch_buckets=set(),  # CoW rewrite emits full images only
         )
     finally:
         if not already_cached:

@@ -22,6 +22,7 @@ def run_level(
     work_dir: str, n_events: int, parallelism: int,
     segment_size: int = 200_000, mft: int = 20,
     zipf: float = 1.2, salt: int = 0, patch_rate: float = 0.0,
+    routes: int = 0,
 ) -> dict:
     # Pin the WHOLE process (JVM task threads + GC + IO + Python
     # workers) to exactly `parallelism` cores: local[N] alone still
@@ -42,6 +43,7 @@ def run_level(
             "--zipf-alpha", str(zipf),
             "--salt-buckets", str(salt),
             "--patch-rate", str(patch_rate),
+            "--routes", str(routes),
         ],
         cwd=REPO,
         capture_output=True,
@@ -66,6 +68,11 @@ def main() -> None:
     # partial-image evidence: SPARK_GRAFT_PATCH=0.3 emits 30% of
     # updates as op='P' patches (engine runs the patch fold + CoW)
     patch_rate = float(os.environ.get("SPARK_GRAFT_PATCH", "0"))
+    # routed evidence: SPARK_GRAFT_ROUTES=4 replays ONE shared
+    # multi-entity log into 4 tables via one streaming query (pair
+    # with SPARK_GRAFT_NO_MD=1 — a routed run must not overwrite the
+    # headline single-entity BENCH.md section)
+    routes = int(os.environ.get("SPARK_GRAFT_ROUTES", "0"))
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     # The sandbox host is virtualized with hypervisor CPU-steal spikes
@@ -78,9 +85,9 @@ def main() -> None:
     pairs = []
     for _ in range(repeats):
         lo = run_level(work_dir, n_events, p_lo, zipf=zipf, salt=salt,
-                       patch_rate=patch_rate)
+                       patch_rate=patch_rate, routes=routes)
         hi = run_level(work_dir, n_events, p_hi, zipf=zipf, salt=salt,
-                       patch_rate=patch_rate)
+                       patch_rate=patch_rate, routes=routes)
         print(json.dumps(lo))
         print(json.dumps(hi))
         pairs.append((lo, hi))
@@ -97,6 +104,11 @@ def main() -> None:
         "final state differs across parallelism levels!"
     )
     assert r8["final_rows"] == r32["final_rows"]
+    if routes:
+        # routed runs must match PER ENTITY, not just in aggregate
+        assert r8["entity_checksums"] == r32["entity_checksums"], (
+            "per-entity state differs across parallelism levels!"
+        )
 
     speedup = r32["events_per_sec"] / r8["events_per_sec"]
     eff = speedup / (p_hi / p_lo)

@@ -161,6 +161,38 @@ def main() -> None:
     n_full = len(lt.read().inputFiles())
     checks.append(("lookup prunes file list", 0 < n_lookup < n_full))
 
+    # MoR patch bit: once patch_deltas is armed, the per-column fold
+    # (array_contains(_patched, id) conditionals) runs ONLY over
+    # buckets whose files are patch-flagged; a patch-free bucket keeps
+    # the cheap whole-row max_by plan
+    from etl_spark.lake.merge import merge_into
+
+    mt = LakeTable.create(
+        spark, os.path.join(tdir, "tbl_mor"),
+        [("conv_id", "string"), ("turn_idx", "int"), ("a", "string")],
+        ["conv_id", "turn_idx"], "conv_id", num_buckets=8, write_mode="mor",
+    )
+    b_of = {r[0]: r[1] for r in spark.createDataFrame(
+        [(f"c{i}",) for i in range(10)], ["conv_id"]
+    ).select("conv_id", mt.bucket_expr().alias("b")).collect()}
+    c1, c2 = "c0", next(c for c in b_of if b_of[c] != b_of["c0"])
+
+    def _src(rows):
+        return spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, a string, op string, "
+            "lsn long, _set_a boolean",
+        ).withColumn("turn_idx", F.col("turn_idx").cast("int"))
+
+    merge_into(mt, _src([(c1, 0, "a0", "U", 1, True),
+                         (c2, 0, "x0", "U", 2, True)]), batch_key="full")
+    merge_into(mt, _src([(c1, 0, "a9", "P", 9, True)]), batch_key="patch")
+    p_free = plan_of(mt.read(buckets=[b_of[c2]]))
+    p_patchy = plan_of(mt.read(buckets=[b_of[c1]]))
+    checks.append(("mor patch-free bucket skips fold (max_by path)",
+                   "array_contains" not in p_free and "max_by" in p_free))
+    checks.append(("mor patchy bucket still folds",
+                   "array_contains" in p_patchy))
+
     failed = [name for name, ok in checks if not ok]
     for name, ok in checks:
         print(("ok    " if ok else "FAIL  ") + name)

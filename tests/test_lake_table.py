@@ -333,3 +333,49 @@ def test_history_metadata_view(spark, tmp_path):
     assert h[3]["new_batches"] == "b100"
     assert h[4]["num_buckets"] == 16 and h[5]["num_buckets"] == 8
     assert h[6]["parent"] == 5
+
+
+def test_two_level_manifest_carries_pointers(spark, tmp_path):
+    """Two-level file index: a commit touching one bucket writes that
+    bucket's group anew and carries every other bucket's group by
+    POINTER — identical strings across snapshots, so per-commit
+    metadata is O(touched buckets), and group files are immutable."""
+    import json as _json
+    import os as _os
+
+    from etl_spark.lake.merge import merge_into
+
+    t = make_table(spark, tmp_path)
+    seed(spark, t)
+    m0 = t.manifest()
+    # snapshot JSON has pointers, no inline file list
+    with open(t._manifest_path(m0.version)) as fh:
+        d = _json.load(fh)
+    assert d["format_version"] == 2 and "files" not in d
+    assert set(map(int, d["bucket_ptrs"])) == m0.buckets()
+
+    # merge one conversation -> exactly its bucket's pointer changes
+    src = spark.createDataFrame(
+        [("c1", 1, "upd", 7, "U", 100)],
+        "conv_id string, turn_idx int, text string, ts long, op string, lsn long",
+    ).withColumn("turn_idx", F.col("turn_idx").cast("int"))
+    merge_into(t, src, batch_key="b1")
+    m1 = t.manifest()
+    changed = {
+        b for b in m0.buckets() | m1.buckets()
+        if m0.bucket_ptrs.get(b) != m1.bucket_ptrs.get(b)
+    }
+    (b1,) = changed  # exactly one bucket touched
+    untouched = m0.buckets() - {b1}
+    assert all(m1.bucket_ptrs[b] == m0.bucket_ptrs[b] for b in untouched)
+    # pruned load reads only the requested group; full list still works
+    assert {f.bucket for f in m1.files_for([b1])} == {b1}
+    assert len(m1.files) == len(m1.files_for(m1.buckets()))
+    # group files are immutable on disk and GC'd only by expiry
+    for name in m0.bucket_ptrs.values():
+        assert _os.path.exists(_os.path.join(t._manifests_dir, name))
+    t.expire_snapshots(keep_last=1)
+    live = set(m1.bucket_ptrs.values())
+    on_disk = set(_os.listdir(t._manifests_dir))
+    assert live <= on_disk
+    assert m0.bucket_ptrs[b1] not in on_disk  # superseded group expired

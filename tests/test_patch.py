@@ -456,3 +456,70 @@ def test_patch_mor_erased_key_stays_dead(spark, tmp_path):
         (F.col("conv_id") == victim) & (F.col("turn_idx") == turn)
     ).collect()
     assert len(row) == 1 and row[0]["text"] == "fresh" and row[0]["role"] == "user"
+
+
+def test_patch_bit_skips_fold_for_patch_free_buckets(spark, tmp_path):
+    """Per-file `has_patches` bit: once `patch_deltas` is armed, only
+    the buckets whose delta files actually carry op='P' rows pay the
+    per-column read fold — a patch-free bucket's scan plan keeps the
+    cheap whole-row max_by resolution — and compaction resets the bit
+    so previously-patchy buckets go cheap again."""
+    from etl_spark.lake.merge import merge_into
+    from etl_spark.lake.table import LakeTable
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "tbl"),
+        [("conv_id", "string"), ("turn_idx", "int"),
+         ("a", "string"), ("b", "string")],
+        ["conv_id", "turn_idx"], "conv_id", num_buckets=8, write_mode="mor",
+    )
+    # conv ids hashing to distinct buckets
+    b_of = {r[0]: r[1] for r in spark.createDataFrame(
+        [(f"c{i}",) for i in range(10)], ["conv_id"]
+    ).select("conv_id", t.bucket_expr().alias("b")).collect()}
+    c1, c2 = "c0", next(c for c in b_of if b_of[c] != b_of["c0"])
+
+    def src(rows):
+        df = spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, a string, b string, "
+            "op string, lsn long, _set_a boolean, _set_b boolean",
+        )
+        return df.withColumn("turn_idx", F.col("turn_idx").cast("int"))
+
+    # full images in both convs, then a patch in c1 only
+    merge_into(t, src([
+        (c1, 0, "a0", "b0", "U", 1, True, True),
+        (c2, 0, "x0", "y0", "U", 2, True, True),
+    ]), batch_key="full")
+    merge_into(t, src([
+        (c1, 0, "a9", None, "P", 9, True, False),
+    ]), batch_key="patch")
+
+    m = t.manifest()
+    assert m.props.get("patch_deltas")
+    flags = {b: [f.has_patches for f in m.group(b)] for b in m.buckets()}
+    assert True in flags[b_of[c1]]
+    assert all(v is False for v in flags[b_of[c2]])
+
+    # patch-free bucket: plan has NO per-column patch fold (the
+    # array_contains(_patched, field_id) conditionals), just the
+    # max_by whole-row resolve
+    plan_free = t.read(buckets=[b_of[c2]])._jdf.queryExecution().optimizedPlan().toString()
+    plan_patchy = t.read(buckets=[b_of[c1]])._jdf.queryExecution().optimizedPlan().toString()
+    assert "array_contains" not in plan_free
+    assert "max_by" in plan_free
+    assert "array_contains" in plan_patchy  # the fold ran where it must
+
+    # semantics unchanged: folded values visible
+    rows = {(r["conv_id"], r["turn_idx"]): (r["a"], r["b"]) for r in t.read().collect()}
+    assert rows == {(c1, 0): ("a9", "b0"), (c2, 0): ("x0", "y0")}
+
+    # compaction collapses the patch chain and resets the bit
+    t.compact(max_files_per_bucket=1)
+    m2 = t.manifest()
+    assert all(
+        f.has_patches is False for b in (b_of[c1], b_of[c2]) for f in m2.group(b)
+    )
+    plan_after = t.read(buckets=[b_of[c1]])._jdf.queryExecution().optimizedPlan().toString()
+    assert "array_contains" not in plan_after
