@@ -1650,7 +1650,12 @@ SQL_CDC_EVENTS_REPLAY = SQL_CDC_MERGE
 # tool_name, epoch-long vs ISO ts), text normalization, D drops keys.
 # =====================================================================
 
-_FIXTURE_DIR = os.path.join(tempfile.gettempdir(), "etl_spark_fixtures")
+# per-user dir: a fixed world-shared name under /tmp breaks on
+# multi-user hosts (first user owns it, second gets PermissionError)
+_FIXTURE_DIR = os.path.join(
+    tempfile.gettempdir(),
+    f"etl_spark_fixtures_{getattr(os, 'getuid', lambda: 0)()}",
+)
 TRX_BASE_PATH = os.path.join(_FIXTURE_DIR, "transcripts_base.parquet")
 TRX_LOG_PATH = os.path.join(_FIXTURE_DIR, "transcripts_binlog.parquet")
 _TRX_CACHE: list = []

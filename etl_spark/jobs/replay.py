@@ -184,6 +184,17 @@ def run(args) -> dict:
                 num_buckets=args.num_buckets,
                 max_files_per_trigger=args.max_files_per_trigger,
                 salt_buckets=salt,
+                # same patch/write-mode resolution as the single-table
+                # path: without patch_ops a routed --patch-rate corpus
+                # would parse op='P' partial images as FULL images
+                # (uncarried fields nulled) — deterministically wrong
+                # on both levels, invisible to the checksum assert
+                patch_ops=bool(patch_rate),
+                write_mode=(
+                    getattr(args, "write_mode", "auto")
+                    if getattr(args, "write_mode", "auto") != "auto"
+                    else ("cow" if patch_rate else "mor")
+                ),
             )
             bootstrap(spark, rcfg, base[ent_of == i])
             routes[name] = (rcfg, ops, TRANSCRIPTS)

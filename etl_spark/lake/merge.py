@@ -99,12 +99,26 @@ def merge_into(
             props_update = {"patch_deltas": True}
         cols += [F.col(LSN_COL).alias(SYS_LSN), is_del.alias(SYS_DELETED)]
         delta = source.select(*cols).withColumn(BUCKET_COL, table.bucket_expr(m))
-        # per-file patch bit: a full-image batch stamps every staged
-        # file has_patches=False; a patch-capable batch runs one tiny
-        # agg (<= num_buckets rows back) to flag exactly the buckets
-        # that received an op='P' row, so the MoR read path folds only
-        # those buckets (patch-free buckets keep the cheap max_by scan)
-        if set_flags:
+        if not set_flags:
+            # full-image batch: every staged file is known patch-free
+            return table.append_files(
+                delta,
+                batch_key=batch_key,
+                batch_stats=batch_stats,
+                props_update=props_update,
+                patch_buckets=set(),
+            )
+        # per-file patch bit for patch-capable batches: one tiny agg
+        # (<= num_buckets rows back) flags exactly the buckets that
+        # received an op='P' row, so the MoR read path folds only
+        # those buckets (patch-free buckets keep the cheap max_by
+        # scan). The agg is a SECOND consumer of the delta plan, so
+        # persist it across both unless the caller already cached the
+        # source (same double-run guard as the CoW branch below).
+        cached = source.storageLevel.useMemory or source.storageLevel.useDisk
+        if not cached:
+            delta = delta.persist()
+        try:
             patch_buckets = {
                 r[0]
                 for r in delta.filter(F.col(SYS_PATCHED).isNotNull())
@@ -112,15 +126,16 @@ def merge_into(
                 .distinct()
                 .collect()
             }
-        else:
-            patch_buckets = set()
-        return table.append_files(
-            delta,
-            batch_key=batch_key,
-            batch_stats=batch_stats,
-            props_update=props_update,
-            patch_buckets=patch_buckets,
-        )
+            return table.append_files(
+                delta,
+                batch_key=batch_key,
+                batch_stats=batch_stats,
+                props_update=props_update,
+                patch_buckets=patch_buckets,
+            )
+        finally:
+            if not cached:
+                delta.unpersist()
 
     # Persist the source across the two CoW consumers (bucket-discovery
     # action, then the key join): without it the caller's whole upstream

@@ -1581,6 +1581,7 @@ class LakeTable:
         tagged = set(self.tags().values())  # pinned versions never expire
         stats = {
             "manifests_removed": 0,
+            "groups_removed": 0,  # bucket-manifest (file-group) GC
             "files_removed": 0,
             "bytes_removed": 0,
             "kept_from_version": cutoff,
@@ -1667,7 +1668,7 @@ class LakeTable:
                     if _time.time() - os.path.getmtime(full) < orphan_grace_seconds:
                         continue
                 os.remove(full)
-                stats["manifests_removed"] += 1
+                stats["groups_removed"] += 1
         return stats
 
     def covered_max_lsn(self, m: Manifest | None = None) -> int:

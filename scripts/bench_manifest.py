@@ -124,9 +124,12 @@ def bench(total_files: int) -> dict:
     _ = mm.files_for([0])
     pruned_read_ms = (time.perf_counter() - t0) * 1000
 
-    # v1 contrast: the flat layout would serialize EVERY file per commit
+    # v1 contrast: the flat layout would serialize EVERY file per
+    # commit. Materialize the lazy file list FIRST so the timed region
+    # is pure encoding, not group-file IO (else v1 is overstated ~2x).
+    all_files = mm.files
     t0 = time.perf_counter()
-    flat_payload = json.dumps([f.to_json() for f in mm.files])
+    flat_payload = json.dumps([f.to_json() for f in all_files])
     flat_ms = (time.perf_counter() - t0) * 1000
 
     shutil.rmtree(work, ignore_errors=True)
