@@ -20,7 +20,7 @@ dedup is new engine surface for the training-data pipeline.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 from etl_spark.functions.text import fingerprint, normalized_text
 
@@ -436,11 +436,132 @@ def simhash_pairs(
 
 
 # ---------------------------------------------------------- components
+def _truncate(df: DataFrame) -> DataFrame:
+    """Materialize a loop iterate AND cut its logical lineage.
+
+    persist() caches the data but keeps the logical plan, and under
+    AQE every nested InMemoryRelation prints BOTH its initial and
+    final physical plan, so the plan tree STRING doubles per round —
+    and AQE rebuilds that string on every stage update during
+    execution (measured here: 68 KB -> 354 MB by round 13, driver OOM
+    around round 14, before the data — 31 rows — moved at all).
+    Truncation keeps the per-round plan O(1) at any iteration count.
+
+    Uses reliable checkpoint() when the session has a checkpoint dir
+    (blocks survive executor loss); localCheckpoint() otherwise —
+    executor-local blocks, losing recompute-on-loss: the standard
+    iterative-graph trade (GraphFrames requires a checkpoint dir for
+    its connected components for exactly this reason). Old rounds'
+    blocks are freed by the ContextCleaner as references drop.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
+def _star_components(edges: DataFrame, max_rounds: int = 100) -> DataFrame:
+    """Alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14): converges
+    in O(log^2 n) rounds on ANY graph shape — the remedy for diameters
+    that defeat round-per-hop min-label propagation. Input: undirected
+    pairs (src, dst); output: (id, component_id=min id reachable),
+    nodes with no edges not emitted.
+
+    Each round is two steps over a canonical larger->smaller edge set:
+    - large-star: every node links its LARGER neighbors to the min of
+      its neighborhood (incl. itself) — one groupBy(min) + one join;
+    - small-star: every node links its smaller neighbors and itself to
+      the min of those — same shape.
+    Both steps strictly decrease a potential until the edge set is a
+    fixpoint of stars (child -> component-min root), so equality of an
+    order-insensitive (count, hash-sum) scalar across a round IS
+    convergence. Every step is key-partitioned (no broadcast of
+    O(nodes) state, no driver collect) — scale-safe at 10^9 edges.
+
+    Plan discipline: each round references the previous round's frame
+    exactly once — orientation doubling via explode(array(...)) instead
+    of a union of two selects, the neighborhood min via a window
+    instead of groupBy + join-back — and every iterate goes through
+    `_truncate` so the logical plan stays O(1) across rounds (see
+    _truncate for why persist alone is not enough under AQE).
+    """
+    e = _truncate(
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        )
+        .distinct()
+    )
+
+    def _fix(df: DataFrame) -> object:
+        return df.agg(
+            F.count("*"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+        ).first()
+
+    prev = _fix(e)
+    for _ in range(max_rounds):
+        # large-star: center c sees neighbor n in both orientations;
+        # m = min(neighborhood ∪ {c}); emit (n, m) for n > c
+        und = e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("c"), F.col("v").alias("n")),
+                    F.struct(F.col("v").alias("c"), F.col("u").alias("n")),
+                )
+            ).alias("p")
+        ).select("p.c", "p.n")
+        lg = (
+            und.withColumn(
+                "m", F.least(F.min("n").over(Window.partitionBy("c")), F.col("c"))
+            )
+            .filter(F.col("n") > F.col("c"))
+            .select(F.col("n").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star on larger->smaller edges: m = min of u's smaller
+        # neighbors; emit (u, m) and (v, m) for each v != m
+        nxt = (
+            lg.withColumn("m", F.min("v").over(Window.partitionBy("u")))
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("u").alias("a"), F.col("m").alias("b")),
+                        F.struct(F.col("v").alias("a"), F.col("m").alias("b")),
+                    )
+                ).alias("p")
+            )
+            .select(F.col("p.a").alias("u"), F.col("p.b").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        nxt = _truncate(nxt)
+        cur = _fix(nxt)
+        e = nxt
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_rounds} rounds "
+            "— exceeds the O(log^2 n) bound; input is likely being "
+            "regenerated nondeterministically under the loop."
+        )
+    # fixpoint edges are stars (member -> component-min root); e is a
+    # checkpointed iterate, freed by the ContextCleaner when the
+    # caller drops the result
+    return e.select(F.col("u").alias("id"), F.col("v").alias("component_id")).unionAll(
+        e.select(F.col("v").alias("id"), F.col("v").alias("component_id"))
+    ).distinct()
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 25,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """Connected components over an undirected near-dup pair graph:
     (id, component_id) with component_id = the smallest id reachable —
@@ -460,70 +581,122 @@ def connected_components(
     label) DOUBLES the logical plan every round — exponential
     analyzer/AQE cost that OOMs the driver in plan stringification at
     diameter ~12 long before any data moves. With one reference the
-    logical plan grows linearly (≤ max_iter joins), and per-round
-    persist + previous-round unpersist keeps the *physical* lineage
-    O(1) so nothing re-executes.
+    logical plan would still grow linearly, so every iterate goes
+    through `_truncate` (checkpoint/localCheckpoint): both the
+    logical plan and the physical lineage stay O(1) per round and
+    nothing re-executes (see _truncate for why persist alone is not
+    enough under AQE).
 
     Convergence rides a scalar fixpoint: labels are monotone
-    non-increasing, so sum(comp) (exact decimal) is strictly
-    decreasing until the fixpoint and equal at it — one tiny aggregate
-    action per round on the already-persisted frame. If the sum is
-    still moving after max_iter rounds the graph diameter exceeds the
-    budget and the function RAISES rather than returning silently
-    wrong component ids (corpus curation would canonicalize the wrong
-    docs). Rounds needed = graph diameter; near-dup graphs are dense
-    clusters with tiny diameters (2-4), so this outperforms the
-    O(log^2 n)-round star-contraction algorithms (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond") unless chains are
-    pathological — for a chain-shaped corpus raise max_iter (rounds
-    are cheap: one key-partitioned join each) or contract with
-    large-star/small-star first.
+    non-increasing, so an exact order-insensitive reduction over comp
+    is strictly decreasing until the fixpoint and equal at it — one
+    tiny aggregate action per round on the materialized iterate
+    (integral ids: exact decimal sum; other id types: (count,
+    hash-sum) — see the inline note). Rounds needed =
+    graph diameter; near-dup graphs are dense clusters with tiny
+    diameters (2-4), so propagation beats the O(log^2 n)-round
+    star-contraction algorithms there.
+
+    If labels are still moving after max_iter rounds (graph diameter
+    exceeds the budget — e.g. chain-shaped boilerplate duplicates),
+    `algorithm` decides:
+    - "auto" (default): contract the graph by the partial labels
+      (each label = min id within max_iter hops; quotient preserves
+      components) and finish with alternating large-star/small-star
+      (`_star_components`) on the contracted — usually tiny — label
+      graph, then map back. Always-correct labels at any diameter.
+    - "propagation": RAISE rather than return silently wrong
+      component ids (corpus curation would canonicalize wrong docs).
+    - "star": skip propagation, run star contraction directly
+      (choose when the diameter is known-pathological upfront).
     """
+    if algorithm not in ("auto", "propagation", "star"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     # persist the (possibly expensive) pair pipeline BEFORE the
     # forward/reverse/self-loop union references it — without this the
     # whole upstream candidate join runs once per union branch
     p = _track_persist(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     )
+    if algorithm == "star":
+        return _star_components(p)
     und = p.union(p.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     nodes = und.select("src").distinct()
     edges = _track_persist(
         und.union(nodes.select("src", F.col("src").alias("dst"))).distinct()
     )
-    labels = nodes.select(
-        F.col("src").alias("id"), F.col("src").alias("comp")
-    ).persist()
+    labels = _truncate(
+        nodes.select(F.col("src").alias("id"), F.col("src").alias("comp"))
+    )
 
-    def _sum(df: DataFrame) -> object:
-        # exact decimal sum: overflow-proof fixpoint scalar for any
-        # id range (10^9 nodes x 10^19 max id << 10^38)
-        return df.agg(
-            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
-        ).first()["s"]
+    # Fixpoint scalar: labels are monotone non-increasing, so an exact
+    # order-insensitive reduction over comp is constant iff the round
+    # changed nothing. Integral ids reduce by exact decimal sum
+    # (overflow-proof: 10^9 nodes x 10^19 max id << 10^38); any other
+    # id type (string/uuid doc ids) reduces by (count, sum of a 64-bit
+    # content hash as decimal): monotonicity rules out state cycles,
+    # so the only failure mode is a ~2^-64/round hash-sum collision —
+    # vs the decimal cast of a string comp being NULL for every row,
+    # which made round 1 look converged (silent wrong components).
+    integral = isinstance(
+        labels.schema["comp"].dataType,
+        (T.LongType, T.IntegerType, T.ShortType, T.ByteType, T.DecimalType),
+    )
 
-    prev = _sum(labels)
+    def _fix(df: DataFrame) -> object:
+        if integral:
+            agg = F.sum(F.col("comp").cast("decimal(38,0)"))
+        else:
+            agg = F.sum(F.xxhash64(F.col("id"), F.col("comp")).cast("decimal(38,0)"))
+        return df.agg(F.count("*"), agg).first()
+
+    prev = _fix(labels)
     for _ in range(max_iter):
-        nxt = (
+        # each iterate goes through _truncate: persist alone leaves
+        # the logical plan growing and AQE's nested initial+final
+        # plan printing doubles the tree string per round (driver OOM
+        # ~round 14 — see _truncate)
+        nxt = _truncate(
             edges.join(labels, edges["src"] == labels["id"])
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("comp").alias("comp"))
-            .persist()
         )
-        cur = _sum(nxt)
-        labels.unpersist()
+        cur = _fix(nxt)
         labels = nxt
         if cur == prev:
             break
         prev = cur
     else:
-        labels.unpersist()
-        raise RuntimeError(
-            f"connected_components did not converge after {max_iter} "
-            "rounds (labels still moving): graph diameter exceeds "
-            "max_iter. Raise max_iter (rounds needed = diameter for "
-            "min-label propagation) or contract high-diameter graphs "
-            "first (Kiveris et al. large-star/small-star)."
+        if algorithm == "propagation":
+            raise RuntimeError(
+                f"connected_components did not converge after {max_iter} "
+                "rounds (labels still moving): graph diameter exceeds "
+                "max_iter. Raise max_iter (rounds needed = diameter for "
+                "min-label propagation), or use algorithm='auto'/'star' "
+                "(Kiveris et al. large-star/small-star contraction)."
+            )
+        # auto fallback: each partial label = min id within max_iter
+        # hops, so contracting nodes by label preserves components and
+        # shrinks the graph by the already-converged cluster interiors;
+        # star contraction finishes the (usually tiny) label graph in
+        # O(log^2) rounds, then one join maps labels -> final roots.
+        # The component min's own label is itself, so the star root IS
+        # the global min id — same contract as pure propagation.
+        la = labels.select(F.col("id").alias("src"), F.col("comp").alias("ca"))
+        lb = labels.select(F.col("id").alias("dst"), F.col("comp").alias("cb"))
+        contracted = (
+            p.join(la, "src")
+            .join(lb, "dst")
+            .select(F.col("ca").alias("src"), F.col("cb").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
         )
-    out = labels.select(F.col("id"), F.col("comp").alias("component_id"))
-    _LIVE_CACHES.append(labels)
-    return out
+        star = _star_components(contracted)
+        # labels is a checkpointed iterate: freed by the ContextCleaner
+        # when the caller drops the result (unpersist() is a no-op on
+        # checkpointed frames, so _LIVE_CACHES can't track it)
+        return labels.join(star, labels["comp"] == star["id"], "left").select(
+            labels["id"],
+            F.coalesce(star["component_id"], labels["comp"]).alias("component_id"),
+        )
+    return labels.select(F.col("id"), F.col("comp").alias("component_id"))

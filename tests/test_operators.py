@@ -454,18 +454,67 @@ def test_simhash_md5_mode_matches_python_reference(spark, docs):
 
 
 def test_connected_components_raises_when_unconverged(spark):
-    """A chain deeper than max_iter must fail loud, not hand back
-    wrong component ids (corpus curation would canonicalize the wrong
-    docs). The same graph converges with enough rounds."""
+    """In strict propagation mode a chain deeper than max_iter must
+    fail loud, not hand back wrong component ids (corpus curation
+    would canonicalize the wrong docs). The same graph converges with
+    enough rounds."""
     chain = [(i, i + 1) for i in range(12)]  # diameter 12
     pairs = spark.createDataFrame(chain, ["id_a", "id_b"])
     with pytest.raises(RuntimeError, match="did not converge"):
-        DD.connected_components(pairs, max_iter=3)
+        DD.connected_components(pairs, max_iter=3, algorithm="propagation")
     got = {
         (r["id"], r["component_id"])
-        for r in DD.connected_components(pairs, max_iter=20).collect()
+        for r in DD.connected_components(
+            pairs, max_iter=20, algorithm="propagation"
+        ).collect()
     }
     assert got == {(i, 0) for i in range(13)}
+    DD.release_caches()
+
+
+def test_connected_components_auto_fallback_deep_chain(spark):
+    """Default auto mode: a chain far deeper than max_iter (the shape
+    that defeats round-per-hop propagation) must still return exact
+    components — propagation contracts the first max_iter hops, star
+    contraction finishes the label graph in O(log^2) rounds."""
+    deep = [(i, i + 1) for i in range(60)]  # diameter 60 >> max_iter=4
+    deep += [(100, 101), (101, 102)]  # separate shallow cluster
+    pairs = spark.createDataFrame(deep, ["id_a", "id_b"])
+    got = {
+        (r["id"], r["component_id"])
+        for r in DD.connected_components(pairs, max_iter=4).collect()
+    }
+    want = {(i, 0) for i in range(61)} | {(i, 100) for i in (100, 101, 102)}
+    assert got == want
+    DD.release_caches()
+
+
+def test_connected_components_star_mode_shapes(spark):
+    """Direct star contraction agrees with propagation on mixed
+    shapes: long chain, bridged triangle clusters, isolated pair,
+    duplicate + reversed edges (input not canonicalized)."""
+    edges = (
+        [(i, i + 1) for i in range(10, 25)]  # chain, diameter 15
+        + [(1, 2), (2, 3), (1, 3), (3, 7), (7, 8), (8, 7), (2, 1)]
+        + [(40, 41)]
+    )
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    star = {
+        (r["id"], r["component_id"])
+        for r in DD.connected_components(pairs, algorithm="star").collect()
+    }
+    prop = {
+        (r["id"], r["component_id"])
+        for r in DD.connected_components(
+            pairs, max_iter=30, algorithm="propagation"
+        ).collect()
+    }
+    want = (
+        {(i, 10) for i in range(10, 26)}
+        | {(i, 1) for i in (1, 2, 3, 7, 8)}
+        | {(40, 40), (41, 40)}
+    )
+    assert star == want and prop == want
     DD.release_caches()
 
 
