@@ -969,6 +969,21 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same duplicate-cluster canonicalization as `dedup_components`,
+    forced through the alternating large-star/small-star contraction
+    path (operators/dedup.py _star_components — the O(log^2 n)-round
+    algorithm that handles graph diameters min-label propagation
+    can't). Identical oracle: the recursive-CTE transitive closure is
+    algorithm-agnostic, so a hash match proves the contraction reaches
+    the same exact fixpoint as propagation."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    return DD.connected_components(pairs, algorithm="star").select(
+        F.col("id").alias("doc_id"), "component_id"
+    )
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end training-data curation decision, one row per
     document: quality band x exact-dup keeper x near-dup canonical —
@@ -1787,6 +1802,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_components": q_dedup_components,
+    "dedup_components_star": q_dedup_components_star,
     "corpus_curation": q_corpus_curation,
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_lsh_ann_topk": q_sim_lsh_ann_topk,
@@ -1835,6 +1851,7 @@ ORACLES = {
     "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
     "dedup_components": SQL_DEDUP_COMPONENTS,
+    "dedup_components_star": SQL_DEDUP_COMPONENTS,
     "corpus_curation": SQL_CORPUS_CURATION,
     "sim_cosine_topk": SQL_SIM_COSINE_TOPK,
     "sim_lsh_ann_topk": SQL_SIM_LSH_ANN,
