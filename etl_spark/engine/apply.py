@@ -346,6 +346,7 @@ def apply_batch(
     spec: SourceSpec = TRANSCRIPTS,
     footer_stats: bool = True,
     stats_override: dict | None = None,
+    input_partitioned: bool = False,
 ) -> None:
     t0 = time.time()
     table = LakeTable(spark, cfg.table_root, branch=cfg.branch)
@@ -466,10 +467,14 @@ def apply_batch(
     #    under the max-LSN aggregation — one shuffle either way. For
     #    the pathological single-(conv,turn) hot key, cfg.salt_buckets
     #    switches to the salted two-phase layout instead.
+    #    Callers that already distributed the input (the routed path
+    #    widens the SHARED batch once before fan-out) pass
+    #    input_partitioned=True so each slice skips its own raw
+    #    shuffle — N raw repartitions per batch was the routed cost.
     width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if cfg.salt_buckets:
         batch_df = salted_repartition(batch_df, spec.bucket_by, width, salt=8)
-    elif n_src_files is None or n_src_files < width:
+    elif not input_partitioned and (n_src_files is None or n_src_files < width):
         batch_df = batch_df.repartition(width, *[F.col(k) for k in spec.key])
 
     # 3. parse by version -> current schema (JVM from_json + casts);

@@ -107,7 +107,20 @@ def apply_batch_routed(
     batch at 4 cores — scaling efficiency 0.776; concurrent applies
     recover it). Any apply failure fails the whole epoch loud (the
     others are joined first; ledger idempotency makes the replay
-    safe). `max_concurrency=1` restores strictly sequential applies."""
+    safe). `max_concurrency=1` restores strictly sequential applies.
+
+    Partitioning: footer stats don't apply to slices, so apply_batch's
+    n_src_files heuristic can't see the source width — left alone,
+    EVERY entity slice would pay a raw-payload repartition (N raw
+    shuffles per batch). Instead the SHARED batch is widened ONCE
+    (round-robin, only when the source delivered fewer partitions than
+    shuffle width) before the persist, and each apply gets
+    input_partitioned=True: the per-entity resolve aggregation's own
+    exchange then moves parsed, partial-agg-collapsed rows — strictly
+    smaller than raw JSON payloads."""
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if batch_df.rdd.getNumPartitions() < width:
+        batch_df = batch_df.repartition(width)
     batch_df = batch_df.persist()
     try:
         stat_rows = (
@@ -164,6 +177,7 @@ def apply_batch_routed(
                 spec=spec,
                 footer_stats=False,
                 stats_override=by_entity.get(name, empty),
+                input_partitioned=True,
             )
 
         names = sorted(routes)
