@@ -518,6 +518,60 @@ def test_connected_components_star_mode_shapes(spark):
     DD.release_caches()
 
 
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Seeded random graphs, star mode and the auto fallback (forced
+    by a tiny max_iter) both cross-checked against a pure-Python
+    union-find with min-id roots — shape-independent ground truth the
+    fixed-shape goldens can't cover (random graphs mix chains, cycles,
+    hubs, and isolated clusters in one edge set)."""
+    import random
+
+    def union_find(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        roots = {}
+        for n in list(parent):
+            roots.setdefault(find(n), []).append(n)
+        return {n: min(ns) for r, ns in roots.items() for n in ns}
+
+    for seed in (7, 23, 91, 140):
+        rng = random.Random(seed)
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(50)
+        ]
+        want_map = union_find(edges)
+        # union-find sees every edge incl. self-loops; the operator
+        # emits only nodes with at least one non-self edge
+        connected = {a for a, b in edges if a != b} | {
+            b for a, b in edges if a != b
+        }
+        want = {(nd, want_map[nd]) for nd in connected}
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        star = {
+            (r["id"], r["component_id"])
+            for r in DD.connected_components(pairs, algorithm="star").collect()
+        }
+        auto = {
+            (r["id"], r["component_id"])
+            for r in DD.connected_components(pairs, max_iter=2).collect()
+        }
+        assert star == want, f"star mismatch seed={seed}"
+        assert auto == want, f"auto-fallback mismatch seed={seed}"
+        DD.release_caches()
+
+
 def test_asof_join_duplicate_right_ts_is_deterministic(spark):
     """Several right rows sharing (key, ts): the greatest payload
     struct must win, in both directions — not partition-sort luck."""
