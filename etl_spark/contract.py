@@ -200,6 +200,71 @@ WHERE rn = 1
 """
 
 
+def q_lake_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map time-window scan: merge the events changelog into a
+    CoW table, compact it SORTED on ts (range-disjoint files per
+    bucket, each carrying a narrow footer [min,max] in the manifest —
+    lake/table.py DataFile.ranges), then read the middle-quartile ts
+    window through `read(where_ranges=...)`, which drops files whose
+    range excludes the window BEFORE the scan is planned and applies
+    the exact predicate as a residual. Hash buckets can never prune a
+    time predicate; the sorted layout + zone maps are what make a
+    time-window query on a CDC table O(window), not O(table). The
+    reference scans the full target for every query (no file
+    statistics at all). Window bounds are derived from min/max(ts) in
+    integer microseconds so the oracle reproduces them exactly."""
+    import datetime as dt
+
+    ev = _t(spark, sf_dir, "events")
+    root = _tmp("zscan")
+    table = LakeTable.create(
+        spark,
+        root,
+        fields=[("user_id", "long"), ("event_type", "string"),
+                ("value", "double"), ("ts", "timestamp")],
+        key=["user_id", "event_type"],
+        bucket_by="user_id",
+        num_buckets=16,
+    )
+    src = ev.select(
+        "user_id", "event_type", "value", "ts",
+        F.col("event_id").alias("lsn"), F.lit("U").alias("op"),
+    )
+    merge_into(
+        table, resolve_max_lsn(src, ["user_id", "event_type"]), batch_key="b0"
+    )
+    table.compact(max_files_per_bucket=0, sort_by="ts", split_per_bucket=4)
+    # events.ts is TIMESTAMP_NTZ; the session tz is UTC, so the cast
+    # interprets it exactly as DuckDB's epoch_us does
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    mn, mx = ev.agg(F.min(us), F.max(us)).first()
+    # upper tenth: latest-per-key images cluster near max(ts) — this
+    # window prunes the bulk of the sorted files AND cuts real rows
+    # (so the residual predicate is exercised, not just the pruning)
+    lo_us = mn + (mx - mn) * 9 // 10
+    hi_us = mx
+
+    def _us(us: int) -> dt.datetime:
+        return dt.datetime.fromtimestamp(
+            us // 1_000_000, tz=dt.timezone.utc
+        ) + dt.timedelta(microseconds=us % 1_000_000)
+
+    return table.read(where_ranges={"ts": (_us(lo_us), _us(hi_us))}).select(
+        "user_id", "event_type", "value", "ts"
+    )
+
+
+SQL_LAKE_PRUNED_SCAN = """
+WITH b AS (SELECT epoch_us(min(ts)) AS mn, epoch_us(max(ts)) AS mx FROM events),
+     w AS (SELECT mn + (mx - mn) * 9 // 10 AS lo, mx AS hi FROM b)
+SELECT user_id, event_type, value, ts
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY event_id DESC) AS rn
+      FROM events), w
+WHERE rn = 1 AND epoch_us(ts) BETWEEN w.lo AND w.hi
+"""
+
+
 def q_cdc_delete_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE with tombstones: 'error' events delete the key; a later
     non-error event resurrects it (last-writer-wins by LSN)."""
@@ -1775,6 +1840,7 @@ QUERIES = {
     "cdc_latest_per_key": q_cdc_latest_per_key,
     "cdc_patch_fold": q_cdc_patch_fold,
     "cdc_merge_upsert": q_cdc_merge_upsert,
+    "lake_pruned_scan": q_lake_pruned_scan,
     "cdc_delete_semantics": q_cdc_delete_semantics,
     "cdc_anti_join_inserts": q_cdc_anti_join_inserts,
     "cdc_semi_join_updates": q_cdc_semi_join_updates,
@@ -1825,6 +1891,7 @@ ORACLES = {
     "cdc_latest_per_key": SQL_CDC_LATEST,
     "cdc_patch_fold": SQL_CDC_PATCH_FOLD,
     "cdc_merge_upsert": SQL_CDC_MERGE,
+    "lake_pruned_scan": SQL_LAKE_PRUNED_SCAN,
     "cdc_delete_semantics": SQL_CDC_DELETE,
     "cdc_anti_join_inserts": SQL_CDC_ANTI,
     "cdc_semi_join_updates": SQL_CDC_SEMI,

@@ -104,6 +104,95 @@ def spark_type(name: str) -> T.DataType:
     return _TYPE_MAP[name]
 
 
+# Logical types that get a zone-map entry (DataFile.ranges). Nested /
+# binary / decimal columns are skipped: no total order a JSON-encoded
+# bound can carry faithfully, and none is a range-predicate column in
+# practice.
+_STAT_TYPES = {"long", "int", "short", "byte", "double", "float",
+               "string", "timestamp"}
+
+
+def _encode_stat(v, type_name: str):
+    """Canonical JSON-safe encoding of a footer min/max for `type_name`
+    — the SAME encoding `_prune_files` applies to query bounds, so
+    comparisons happen in one domain. Timestamps become epoch micros
+    (pyarrow yields tz-aware UTC datetimes for Spark's UTC-adjusted
+    INT64 timestamps; naive values are treated as UTC). Returns None
+    when the value can't be encoded (file stays unprunable)."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    if type_name == "timestamp":
+        if isinstance(v, str):
+            v = _dt.datetime.fromisoformat(v)
+        if not isinstance(v, _dt.datetime):
+            return None
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=_dt.timezone.utc)
+        # integer arithmetic on the second boundary: float-seconds *
+        # 1e6 loses sub-microsecond precision near current epochs
+        import calendar as _cal
+
+        return _cal.timegm(v.utctimetuple()) * 1_000_000 + v.microsecond
+    if type_name in ("double", "float"):
+        return float(v)
+    if type_name == "string":
+        if isinstance(v, bytes):
+            try:
+                v = v.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        return str(v)
+    try:
+        return int(v)
+    except (TypeError, ValueError):
+        return None
+
+
+def _ranges_from_footer(path: str, fields) -> dict[int, list] | None:
+    """Per-column [min, max] for one staged parquet file, keyed by
+    field id, from the footer's row-group statistics — a driver-side
+    metadata read, no job. Columns whose stats are absent (or all-NULL
+    row groups mixed with missing stats) simply get no entry; a
+    failure to read the footer returns None (file never pruned)."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return None
+    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out: dict[int, list] = {}
+    for fld in fields:
+        if fld.type not in _STAT_TYPES or fld.name not in names:
+            continue
+        idx = names[fld.name]
+        mn = mx = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(idx)
+            st = col.statistics
+            if st is None:
+                ok = False
+                break
+            if st.num_values == 0:  # all-NULL row group: no bounds
+                continue
+            if not st.has_min_max:
+                ok = False
+                break
+            lo = _encode_stat(st.min, fld.type)
+            hi = _encode_stat(st.max, fld.type)
+            if lo is None or hi is None:
+                ok = False
+                break
+            mn = lo if mn is None else min(mn, lo)
+            mx = hi if mx is None else max(mx, hi)
+        if ok and mn is not None:
+            out[fld.id] = [mn, mx]
+    return out or None
+
+
 @dataclass(frozen=True)
 class Field:
     id: int
@@ -160,19 +249,34 @@ class DataFile:
     # table-wide `patch_deltas` prop is set, so patch-free buckets
     # skip the per-column fold entirely (compaction resets the bit).
     has_patches: bool | None = None
+    # Zone map: per-column [min, max] over this file's non-NULL
+    # values, keyed by FIELD ID (rename/widen-proof — the format's
+    # field-ID discipline), values encoded canonically per logical
+    # type (`_encode_stat`: timestamps as epoch micros). Collected
+    # from the staged parquet footers at write time (driver-side,
+    # O(new files), no job — same cost class as the lineage footer
+    # stats). Parquet writers may truncate string min/max; truncated
+    # footer bounds are still conservative bounds, so pruning with
+    # them stays sound. None = file predates the feature or stats
+    # were unavailable (never pruned).
+    ranges: dict[int, list] | None = None
 
     def to_json(self) -> dict:
         d = {"path": self.path, "bucket": self.bucket,
              "schema_id": self.schema_id, "rows": self.rows}
         if self.has_patches is not None:
             d["has_patches"] = self.has_patches
+        if self.ranges is not None:
+            d["ranges"] = {str(k): v for k, v in sorted(self.ranges.items())}
         return d
 
     @staticmethod
     def from_json(d: dict) -> "DataFile":
+        r = d.get("ranges")
         return DataFile(
             d["path"], d["bucket"], d["schema_id"], d.get("rows", -1),
             d.get("has_patches"),
+            {int(k): v for k, v in r.items()} if r is not None else None,
         )
 
 
@@ -641,25 +745,133 @@ class LakeTable:
             F.lit(None).cast("array<int>").alias(SYS_PATCHED),
         )
 
+    def _prune_files(
+        self,
+        m: Manifest,
+        files: list[DataFile],
+        where_ranges: dict[str, tuple],
+        resolve: bool,
+    ) -> list[DataFile]:
+        """Zone-map file pruning: drop files whose per-column footer
+        ranges (`DataFile.ranges`, collected at stage time) exclude
+        every requested [lo, hi] interval. Files without ranges (or
+        without the column's entry) are always kept — pruning only
+        ever removes files PROVEN irrelevant.
+
+        Soundness under merge-on-read (`resolve=True`): per-file
+        pruning is unsound when a key's versions span files — dropping
+        the file holding the max-LSN image would resurrect an older
+        in-range image from a kept file. Versions can only span files
+        from DIFFERENT commits (every commit's change set is resolved
+        to one row per key, and a key's rows never leave its bucket),
+        so the rule is per bucket: if all of a bucket's files were
+        staged by one commit (compacted, or a fresh bucket), files
+        prune independently; a multi-commit bucket is dropped only
+        when EVERY file in it excludes the predicate — then each key's
+        resolved value, which is always one of its stored values, is
+        out of range too (NULL resolved values fail the range residual
+        regardless). Sorted compaction (`compact(sort_by=...)`) packs
+        each bucket into one commit's worth of range-disjoint files,
+        re-arming file-granularity skipping for exactly the
+        time-window scans CDC tables serve. The copy-on-write read
+        path has no cross-file resolution (one live row per key, read
+        flat), so files always prune independently there."""
+        by_name = {f.name: f for f in m.schema.fields}
+        enc: dict[int, tuple] = {}
+        for col, (lo, hi) in where_ranges.items():
+            fld = by_name.get(col)
+            if fld is None:
+                raise ValueError(f"unknown column {col!r} in where_ranges")
+            if fld.type not in _STAT_TYPES:
+                raise ValueError(
+                    f"column {col!r} ({fld.type}) has no zone-map support"
+                )
+            enc[fld.id] = (
+                None if lo is None else _encode_stat(lo, fld.type),
+                None if hi is None else _encode_stat(hi, fld.type),
+            )
+
+        def overlaps(f: DataFile) -> bool:
+            if f.ranges is None:
+                return True
+            for fid, (lo, hi) in enc.items():
+                r = f.ranges.get(fid)
+                if r is None:
+                    continue
+                if lo is not None and r[1] < lo:
+                    return False
+                if hi is not None and r[0] > hi:
+                    return False
+            return True
+
+        if not resolve:
+            return [f for f in files if overlaps(f)]
+        by_bucket: dict[int, list[DataFile]] = {}
+        for f in files:
+            by_bucket.setdefault(f.bucket, []).append(f)
+        out: list[DataFile] = []
+        for b in sorted(by_bucket):
+            fs = by_bucket[b]
+            # commit dir = data/c<version>-<token>/... ; one commit =
+            # at most one version of any key in this bucket
+            commits = {f.path.split("/", 2)[1] for f in fs}
+            if len(commits) == 1:
+                out.extend(f for f in fs if overlaps(f))
+            elif any(overlaps(f) for f in fs):
+                out.extend(fs)
+        return out
+
     def read(
         self,
         buckets: list[int] | None = None,
         include_system: bool = False,
         version: int | str | None = None,
+        where_ranges: dict[str, tuple] | None = None,
     ) -> DataFrame:
         """Scan live rows (max-LSN resolved under merge-on-read,
         tombstones filtered). `buckets` prunes the file list — the
         partition-pruning path MERGE relies on. `version` may be a
-        snapshot number (time travel) or a tag name."""
+        snapshot number (time travel) or a tag name.
+
+        `where_ranges` ({column: (lo, hi)}, either bound None) adds
+        zone-map data skipping (Iceberg metadata-pruning analog): the
+        file list is pruned by the per-file footer ranges the manifest
+        carries (`_prune_files` — bucket-granular under merge-on-read)
+        BEFORE the scan is planned, and the same predicate is applied
+        to the returned frame (pruning is a planning optimization,
+        never the semantics). Hash bucketing spreads keys evenly, so
+        this is the prune path for NON-key range predicates — e.g.
+        time windows over a CDC table, where each commit's files cover
+        a narrow event-time band. Timestamp bounds: datetime or ISO
+        string."""
+        import datetime as _dt
+
         m = self.manifest(version)
         files = m.files_for(buckets)
-        if self.write_mode(m) == "mor":
+        mor = self.write_mode(m) == "mor"
+        if where_ranges:
+            files = self._prune_files(m, files, where_ranges, resolve=mor)
+        if mor:
             df = self._scan_resolved(m, files)
         else:
             df = self._read_files(m, files)
         if df is None:
             df = self.spark.createDataFrame([], m.schema.struct(with_system=True))
         df = df.filter(~F.coalesce(F.col(SYS_DELETED), F.lit(False)))
+        if where_ranges:
+            # residual predicate: zone maps only skip files, the rows
+            # of kept files still get the exact filter
+            by_name = {f.name: f for f in m.schema.fields}
+            for col, (lo, hi) in where_ranges.items():
+                for bound, op in ((lo, "geq"), (hi, "leq")):
+                    if bound is None:
+                        continue
+                    if by_name[col].type == "timestamp" and isinstance(bound, str):
+                        bound = _dt.datetime.fromisoformat(bound)
+                    df = df.filter(
+                        F.col(col) >= F.lit(bound) if op == "geq"
+                        else F.col(col) <= F.lit(bound)
+                    )
         df = df.drop(SYS_PATCHED)  # delta-marker, never a logical column
         if not include_system:
             df = df.drop(SYS_LSN, SYS_DELETED)
@@ -742,6 +954,7 @@ class LakeTable:
         version: int,
         bucket_counts: dict[int, int] | None = None,
         patch_buckets: set[int] | None = None,
+        range_layout: tuple[str, int] | None = None,
     ) -> list[DataFile]:
         """Write `df` (must carry BUCKET_COL plus the physical schema)
         under data/, one parquet dir per bucket, and return the new
@@ -793,7 +1006,21 @@ class LakeTable:
             and width > 1
             and max(counts) * width > 2 * sum(counts)
         )
-        if skewed:
+        if range_layout is not None:
+            # sorted-split layout (Iceberg sort-order analog): range-
+            # partition on (bucket, sort column) into `n_parts` tasks
+            # and sort rows within each, so every bucket lands as a
+            # run of range-DISJOINT files with narrow zone maps on the
+            # sort column (`DataFile.ranges`) — the layout that makes
+            # `read(where_ranges=...)` skip files inside a bucket, not
+            # just across buckets. The dynamic-partition writer splits
+            # a boundary-spanning task into one file per bucket value,
+            # so bucket integrity is untouched.
+            sort_col, n_parts = range_layout
+            staged_df = staged_df.repartitionByRange(
+                max(1, n_parts), F.col(BUCKET_COL), F.col(sort_col)
+            ).sortWithinPartitions(BUCKET_COL, sort_col)
+        elif skewed:
             staged_df = staged_df.hint("rebalance", BUCKET_COL)
         else:
             # balanced: one output file per bucket — buckets are the
@@ -807,15 +1034,23 @@ class LakeTable:
             b = int(sub.split("=")[1])
             for fn in sorted(os.listdir(os.path.join(out_dir, sub))):
                 if fn.endswith(".parquet"):
+                    fp = os.path.join(rel, sub, fn)
                     staged.append(
                         DataFile(
-                            os.path.join(rel, sub, fn), b, m.schema.schema_id,
+                            fp, b, m.schema.schema_id,
                             # patch bit: callers that KNOW the staged
                             # content pass patch_buckets (set() = all
                             # full images); None stays conservative
                             has_patches=(
                                 None if patch_buckets is None
                                 else b in patch_buckets
+                            ),
+                            # zone map from the file's own footer —
+                            # staged files always carry the CURRENT
+                            # schema (cast enforcement above), so
+                            # ranges key directly by current field ids
+                            ranges=_ranges_from_footer(
+                                os.path.join(self.root, fp), m.schema.fields
                             ),
                         )
                     )
@@ -856,6 +1091,7 @@ class LakeTable:
         expected_version: int | None = None,
         stamp_props: tuple = (),
         patch_buckets: set[int] | None = None,
+        range_layout: tuple[str, int] | None = None,
     ) -> int:
         """Copy-on-write commit: replace `replaced_buckets` with the
         contents of `df` (which must carry BUCKET_COL, system columns,
@@ -891,7 +1127,7 @@ class LakeTable:
                 )
         staged = self._stage_dataframe(
             df, m, m.version + 1, bucket_counts=bucket_counts,
-            patch_buckets=patch_buckets,
+            patch_buckets=patch_buckets, range_layout=range_layout,
         )
         replaced = set(replaced_buckets)
         bad = [f for f in staged if f.bucket not in replaced]
@@ -1686,10 +1922,26 @@ class LakeTable:
         )
 
     def compact(
-        self, max_files_per_bucket: int = 1, tombstone_grace_lsns: int | None = None
+        self,
+        max_files_per_bucket: int = 1,
+        tombstone_grace_lsns: int | None = None,
+        sort_by: str | None = None,
+        split_per_bucket: int = 4,
     ) -> int:
         """Rewrite buckets whose live-file count exceeds the bound.
         At 10^10-row scale this runs as a periodic maintenance job.
+
+        `sort_by` (Iceberg sort-order compaction analog) lays each
+        rewritten bucket out as ~`split_per_bucket` range-disjoint
+        files sorted on that column, giving every file a narrow zone
+        map (`DataFile.ranges`) — `read(where_ranges=...)` then skips
+        files WITHIN a bucket for range predicates on `sort_by` (time
+        windows over a CDC table being the canonical case; hash
+        buckets can never prune those). Because the rewrite is a
+        single commit per bucket, the merge-on-read prune rule also
+        upgrades those buckets to per-file granularity. Run with
+        `max_files_per_bucket >= split_per_bucket`, or every cycle
+        re-compacts the buckets it just split.
 
         `tombstone_grace_lsns` additionally GARBAGE-COLLECTS delete
         tombstones older than `covered_max_lsn() - grace` from the
@@ -1715,6 +1967,8 @@ class LakeTable:
         purge_below = None
         if tombstone_grace_lsns is not None:
             purge_below = max(0, self.covered_max_lsn(m) - int(tombstone_grace_lsns))
+        if sort_by is not None and sort_by not in m.schema.names():
+            raise ValueError(f"unknown sort_by column {sort_by!r}")
         todo = [b for b, n in per_bucket.items() if n > max_files_per_bucket]
         if purge_below:
             # tombstone GC visits exactly the buckets holding a
@@ -1768,6 +2022,10 @@ class LakeTable:
                 # compaction collapses patch chains to full images:
                 # resets has_patches so these buckets skip the fold
                 patch_buckets=set(),
+                range_layout=(
+                    None if sort_by is None
+                    else (sort_by, len(todo) * max(1, split_per_bucket))
+                ),
             )
         except (FileExistsError, CommitConflict):
             # lost the O_EXCL manifest race to a concurrent merge

@@ -55,6 +55,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.mergeSchema", "false")
+        # int64 micros instead of Spark's legacy INT96 (the type
+        # Iceberg mandates): INT96 carries NO footer min/max stats, so
+        # timestamp columns would get neither row-group pushdown nor a
+        # zone-map entry (lake/table.py DataFile.ranges). Files written
+        # as INT96 by a foreign session degrade gracefully (no ranges
+        # entry -> never pruned).
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # zstd for data files and shuffle: trades (abundant, parallel)
         # CPU for (scarce, serial) disk/network bytes — the right side
         # of the trade on both the virtio sandbox disk and a real

@@ -193,6 +193,25 @@ def main() -> None:
     checks.append(("mor patchy bucket still folds",
                    "array_contains" in p_patchy))
 
+    # zone maps: sorted compaction gives range-disjoint files whose
+    # manifest [min,max] prune a range read's file list BEFORE the
+    # scan is planned — fewer input files than the full read, within
+    # the SAME buckets (a predicate hash buckets can never prune)
+    zt = LakeTable.create(
+        spark, os.path.join(tdir, "tbl_zone"),
+        [("user_id", "long"), ("v", "long")],
+        ["user_id"], "user_id", num_buckets=2,
+    )
+    merge_into(zt, spark.createDataFrame(
+        [(i, i, "U", i + 1) for i in range(200)],
+        "user_id long, v long, op string, lsn long",
+    ), batch_key="b0")
+    zt.compact(max_files_per_bucket=0, sort_by="v", split_per_bucket=4)
+    nz_full = len(zt.read().inputFiles())
+    nz_pruned = len(zt.read(where_ranges={"v": (0, 24)}).inputFiles())
+    checks.append(("zone-map range read prunes sorted files",
+                   0 < nz_pruned < nz_full))
+
     failed = [name for name, ok in checks if not ok]
     for name, ok in checks:
         print(("ok    " if ok else "FAIL  ") + name)

@@ -58,11 +58,8 @@ def _inject_between_stage_and_commit(table, inject):
     real = LakeTable._stage_dataframe
     state = {"fired": False}
 
-    def wrapper(self, df, m, version, bucket_counts=None, patch_buckets=None):
-        out = real(
-            self, df, m, version,
-            bucket_counts=bucket_counts, patch_buckets=patch_buckets,
-        )
+    def wrapper(self, df, m, version, **kwargs):
+        out = real(self, df, m, version, **kwargs)
         if not state["fired"]:
             state["fired"] = True
             inject()
