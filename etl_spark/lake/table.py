@@ -775,9 +775,21 @@ class LakeTable:
         re-arming file-granularity skipping for exactly the
         time-window scans CDC tables serve. The copy-on-write read
         path has no cross-file resolution (one live row per key, read
-        flat), so files always prune independently there."""
+        flat), so files always prune independently there.
+
+        Widen-awareness: a file's stored bounds live in its WRITE-TIME
+        type's encoding domain. After an (int|long)→timestamp widen the
+        read casts epoch SECONDS to timestamps, but query bounds encode
+        as epoch MICROS — comparing raw would prune every pre-widen
+        file whose rows are in range (silent missing rows; regression
+        test_zonemap.py::test_prune_survives_timestamp_widen). Bounds
+        are therefore converted per (schema_id, fid) into the current
+        type's domain: ×1e6 for the timestamp widens, as-is for the
+        numeric widens (int/float compare numerically), and any other
+        write/current type mismatch keeps the file unprunable."""
         by_name = {f.name: f for f in m.schema.fields}
         enc: dict[int, tuple] = {}
+        cur_type: dict[int, str] = {}
         for col, (lo, hi) in where_ranges.items():
             fld = by_name.get(col)
             if fld is None:
@@ -786,10 +798,31 @@ class LakeTable:
                 raise ValueError(
                     f"column {col!r} ({fld.type}) has no zone-map support"
                 )
+            cur_type[fld.id] = fld.type
             enc[fld.id] = (
                 None if lo is None else _encode_stat(lo, fld.type),
                 None if hi is None else _encode_stat(hi, fld.type),
             )
+
+        _NUMERIC = {"int", "long", "short", "byte", "float", "double"}
+
+        def _convert(sid: int, fid: int):
+            """Bound-preserving map from the writer-type encoding into
+            the current-type domain, or None if no sound map exists."""
+            w = m.schemas[sid].by_id().get(fid)
+            cur = cur_type[fid]
+            if w is None:
+                return None  # column added after this file: no entry anyway
+            if w.type == cur:
+                return lambda v: v
+            if cur == "timestamp" and w.type in ("int", "long"):
+                # Spark's long→timestamp cast reads epoch seconds
+                return lambda v: v * 1_000_000
+            if cur in _NUMERIC and w.type in _NUMERIC:
+                return lambda v: v
+            return None
+
+        conv_cache: dict[tuple[int, int], object] = {}
 
         def overlaps(f: DataFile) -> bool:
             if f.ranges is None:
@@ -798,9 +831,15 @@ class LakeTable:
                 r = f.ranges.get(fid)
                 if r is None:
                     continue
-                if lo is not None and r[1] < lo:
+                ck = (f.schema_id, fid)
+                if ck not in conv_cache:
+                    conv_cache[ck] = _convert(*ck)
+                cv = conv_cache[ck]
+                if cv is None:
+                    continue  # unmappable writer type: keep the file
+                if lo is not None and cv(r[1]) < lo:
                     return False
-                if hi is not None and r[0] > hi:
+                if hi is not None and cv(r[0]) > hi:
                     return False
             return True
 

@@ -150,3 +150,43 @@ def test_where_ranges_validation(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unknown column"):
         t.read(where_ranges={"nope": (0, 1)})
+
+
+def test_prune_survives_timestamp_widen(spark, tmp_path):
+    """Regression (round-4 review find): bounds stored before an
+    (int|long)->timestamp widen are epoch SECONDS in the writer-type
+    domain, while post-widen query bounds encode as epoch MICROS.
+    Comparing raw pruned every pre-widen file — a silent empty result
+    for an in-range window. The prune now converts stored bounds
+    through the file's write-time schema (x1e6 for the timestamp
+    widens), so pre-widen files keep pruning CORRECTLY, and a numeric
+    widen (int->long) keeps pruning EFFECTIVELY."""
+    base = 1_704_067_200  # 2024-01-01T00:00Z
+    for mode in ("cow", "mor"):
+        t = LakeTable.create(
+            spark, str(tmp_path / f"w_{mode}"),
+            [("user_id", "long"), ("v", "int"), ("ts", "long")],
+            ["user_id"], "user_id", num_buckets=2, write_mode=mode,
+        )
+        rows = [
+            dict(user_id=u, v=u, ts=base + u * 60, op="U", lsn=u + 1)
+            for u in range(100)
+        ]
+        src = _src(spark, rows).withColumn("v", F.col("v").cast("int"))
+        merge_into(t, src, batch_key="b0")
+        t.widen_type("ts", "timestamp")
+        t.widen_type("v", "long")
+        lo = T0 + dt.timedelta(minutes=10)
+        hi = T0 + dt.timedelta(minutes=19)
+        got = t.read(where_ranges={"ts": (lo, hi)})
+        assert {r["user_id"] for r in got.collect()} == set(range(10, 20))
+        # the numeric widen still prunes (identity map, not disabled)
+        t.compact(max_files_per_bucket=0, sort_by="v", split_per_bucket=4)
+        total = len(t.manifest().files)
+        narrow = t.read(where_ranges={"v": (10, 19)})
+        assert {r["v"] for r in narrow.collect()} == set(range(10, 20))
+        assert len(narrow.inputFiles()) < total
+        # an out-of-range window over pre-widen files still prunes to
+        # nothing (conversion preserves exclusion, not just inclusion)
+        t2 = t.read(where_ranges={"ts": (T0 + dt.timedelta(days=365), None)})
+        assert t2.count() == 0 and t2.inputFiles() == []
