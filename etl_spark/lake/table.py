@@ -1066,34 +1066,49 @@ class LakeTable:
             # unit of CoW rewrite, so keep them compact
             staged_df = staged_df.repartition(BUCKET_COL)
         staged_df.write.partitionBy(BUCKET_COL).mode("error").parquet(out_dir)
-        staged: list[DataFile] = []
+        new_files: list[tuple[str, int]] = []
         for sub in sorted(os.listdir(out_dir)):
             if not sub.startswith(f"{BUCKET_COL}="):
                 continue
             b = int(sub.split("=")[1])
             for fn in sorted(os.listdir(os.path.join(out_dir, sub))):
                 if fn.endswith(".parquet"):
-                    fp = os.path.join(rel, sub, fn)
-                    staged.append(
-                        DataFile(
-                            fp, b, m.schema.schema_id,
-                            # patch bit: callers that KNOW the staged
-                            # content pass patch_buckets (set() = all
-                            # full images); None stays conservative
-                            has_patches=(
-                                None if patch_buckets is None
-                                else b in patch_buckets
-                            ),
-                            # zone map from the file's own footer —
-                            # staged files always carry the CURRENT
-                            # schema (cast enforcement above), so
-                            # ranges key directly by current field ids
-                            ranges=_ranges_from_footer(
-                                os.path.join(self.root, fp), m.schema.fields
-                            ),
-                        )
-                    )
-        return staged
+                    new_files.append((os.path.join(rel, sub, fn), b))
+        # zone maps from the files' own footers — staged files always
+        # carry the CURRENT schema (cast enforcement above), so ranges
+        # key directly by current field ids. Footer reads are pure
+        # metadata IO (pyarrow releases the GIL), so a commit staging
+        # hundreds of files collects them in parallel rather than
+        # serially on the driver.
+        from concurrent.futures import ThreadPoolExecutor
+
+        fields = m.schema.fields
+        if len(new_files) > 1:
+            with ThreadPoolExecutor(max_workers=min(16, len(new_files))) as ex:
+                all_ranges = list(ex.map(
+                    lambda nf: _ranges_from_footer(
+                        os.path.join(self.root, nf[0]), fields
+                    ),
+                    new_files,
+                ))
+        else:
+            all_ranges = [
+                _ranges_from_footer(os.path.join(self.root, fp), fields)
+                for fp, _ in new_files
+            ]
+        return [
+            DataFile(
+                fp, b, m.schema.schema_id,
+                # patch bit: callers that KNOW the staged content pass
+                # patch_buckets (set() = all full images); None stays
+                # conservative
+                has_patches=(
+                    None if patch_buckets is None else b in patch_buckets
+                ),
+                ranges=rng,
+            )
+            for (fp, b), rng in zip(new_files, all_ranges)
+        ]
 
     def _rebase_safe(self, base_version: int, base: Manifest, fresh: Manifest) -> bool:
         """True iff a rewrite computed from `base_version` may be
