@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "mm_decode_audio",
     "asof_click_error",
     "cdc_changes_feed",
+    "lake_pruned_scan",
+    "lake_point_lookup",
 ]
 
 

@@ -265,6 +265,67 @@ WHERE rn = 1 AND epoch_us(ts) BETWEEN w.lo AND w.hi
 """
 
 
+# deterministic probe set for the Bloom point lookup: ids 1/3/7/11
+# exist at every sf (events.user_id starts at 0); 10_000_000 never
+# does, so the exclusion path (all of a key's filters prove absence)
+# is exercised against the oracle too.
+_LOOKUP_IDS = [1, 3, 7, 11, 10_000_000]
+
+
+def q_lake_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter point lookup: merge the events changelog into a
+    MERGE-ON-READ table in three LSN-range batches (so every bucket
+    holds delta files from several commits), build per-file Bloom
+    sidecars over the bucket key (`LakeTable.build_blooms` — the
+    Iceberg Puffin-stats analog; lake/bloom.py), then `lookup()` a
+    fixed id set. Bucket pruning selects the buckets the ids hash
+    into; the Bloom filters additionally drop the files inside those
+    buckets that contain none of the probed keys — the prune hash
+    bucketing can never provide, since keys are uniform across a
+    bucket's files. The reference has no point-lookup path at all
+    (full scan + filter per query: /root/reference/src/pipeline/core/
+    spark.py:87). Correctness is oracle-exact because pruning only
+    drops files PROVEN key-free; the result is last-writer-wins over
+    the full changelog restricted to the probed ids."""
+    ev = _t(spark, sf_dir, "events")
+    n = ev.count()
+    root = _tmp("ptlkp")
+    table = LakeTable.create(
+        spark,
+        root,
+        fields=[("user_id", "long"), ("event_type", "string"),
+                ("value", "double"), ("ts", "timestamp")],
+        key=["user_id", "event_type"],
+        bucket_by="user_id",
+        num_buckets=16,
+        write_mode="mor",
+    )
+    src = ev.select(
+        "user_id", "event_type", "value", "ts",
+        F.col("event_id").alias("lsn"), F.lit("U").alias("op"),
+    )
+    bounds = [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, 1 << 60)]
+    for i, (lo, hi) in enumerate(bounds):
+        batch = resolve_max_lsn(
+            src.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi)),
+            ["user_id", "event_type"],
+        )
+        merge_into(table, batch, batch_key=f"b{i}")
+    table.build_blooms()
+    return table.lookup(_LOOKUP_IDS).select(
+        "user_id", "event_type", "value", "ts"
+    )
+
+
+SQL_LAKE_POINT_LOOKUP = """
+SELECT user_id, event_type, value, ts
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1 AND user_id IN (1, 3, 7, 11, 10000000)
+"""
+
+
 def q_cdc_delete_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE with tombstones: 'error' events delete the key; a later
     non-error event resurrects it (last-writer-wins by LSN)."""
@@ -1841,6 +1902,7 @@ QUERIES = {
     "cdc_patch_fold": q_cdc_patch_fold,
     "cdc_merge_upsert": q_cdc_merge_upsert,
     "lake_pruned_scan": q_lake_pruned_scan,
+    "lake_point_lookup": q_lake_point_lookup,
     "cdc_delete_semantics": q_cdc_delete_semantics,
     "cdc_anti_join_inserts": q_cdc_anti_join_inserts,
     "cdc_semi_join_updates": q_cdc_semi_join_updates,
@@ -1892,6 +1954,7 @@ ORACLES = {
     "cdc_patch_fold": SQL_CDC_PATCH_FOLD,
     "cdc_merge_upsert": SQL_CDC_MERGE,
     "lake_pruned_scan": SQL_LAKE_PRUNED_SCAN,
+    "lake_point_lookup": SQL_LAKE_POINT_LOOKUP,
     "cdc_delete_semantics": SQL_CDC_DELETE,
     "cdc_anti_join_inserts": SQL_CDC_ANTI,
     "cdc_semi_join_updates": SQL_CDC_SEMI,

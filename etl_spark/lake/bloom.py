@@ -1,0 +1,136 @@
+"""Per-file key Bloom filters for point-lookup file skipping — the
+Iceberg Puffin blob / Delta bloom-filter-index analog. Zone maps
+(`DataFile.ranges`) prune files for RANGE predicates; hash-bucketed
+keys are uniform across a bucket's files, so they never help a point
+lookup inside a bucket. A per-file Bloom filter over the `bucket_by`
+column does: `LakeTable.lookup(values)` drops every file whose filter
+proves none of the probed keys is present (false positives keep the
+file — pruning is only ever an optimization, never the semantics).
+
+The reference has no file statistics of any kind (full scans per
+query: /root/reference/src/pipeline/core/spark.py:87 reads whole
+buckets); this module is new-engine surface for the 10^10-row point-
+lookup path.
+
+Why this is sound under merge-on-read without the zone-map
+bucket-granularity rule: range pruning can drop a file that CONTAINS
+the key (holding its max-LSN image whose value is out of range),
+resurrecting a stale in-range image — hence the single-commit rule.
+Bloom pruning only drops files that contain NO row of any probed key,
+so a probed key's LSN contest sees exactly its full row set; other
+keys' resolutions may run over partial file sets but are filtered out
+by the lookup's equality predicate before anyone sees them. Delete
+tombstones and patch deltas carry the key column, so they are always
+in their file's filter.
+
+Hashing: classic double hashing (Kirsch-Mitzenmacher) over the JVM's
+`xxhash64` — bit_i = (h1 + i*h2) mod m with h1 = xxhash64(v),
+h2 = xxhash64(v, 1). Build and probe evaluate the SAME Spark
+expression (`position_columns`), so the Python side never
+re-implements the hash (a driver-side reimplementation drifting from
+the JVM would silently prune wrong files — same discipline as
+`_buckets_for_values`). Values are cast to the CURRENT field type
+first: a post-widen probe (long literal) then hashes identically to a
+pre-widen file's int column, and renames don't matter because the
+value, not the name, is hashed.
+
+Sidecar format: raw little-endian packed bit array of ceil(m/8)
+bytes next to the data file (`<file>.bloom`), written executor-side
+tmp+rename; the manifest's `DataFile.bloom` records {path, m, k}.
+Probing seeks to the k byte offsets instead of reading the whole
+filter — O(k) byte reads per (file, value).
+"""
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+DEFAULT_K = 7
+DEFAULT_BITS_PER_ROW = 10  # ~1% false-positive rate at k=7
+MIN_BITS = 1 << 13  # 1 KiB sidecar floor
+MAX_BITS = 1 << 23  # 1 MiB sidecar ceiling
+
+
+def size_bits(max_rows: int, bits_per_row: int = DEFAULT_BITS_PER_ROW) -> int:
+    """Filter width for the largest file in a build call (one width
+    per call keeps the position job a single expression). Clamped so a
+    tiny file still gets a useful filter and a huge one can't bloat
+    the metadata path; width is rounded to a whole byte."""
+    bits = max(MIN_BITS, min(MAX_BITS, bits_per_row * max(1, max_rows)))
+    return (bits + 7) // 8 * 8
+
+
+def position_columns(col: Column, m_bits: int, k: int) -> Column:
+    """Array of the k bit positions for `col` — THE hash definition,
+    evaluated JVM-side for both the build job and the probe job.
+    Intermediate sums stay far below 2^63 (positions < 2^23, k <= 64),
+    so ANSI overflow checking never trips."""
+    h1 = F.pmod(F.xxhash64(col), F.lit(m_bits))
+    h2 = F.pmod(F.xxhash64(col, F.lit(1)), F.lit(m_bits))
+    return F.array(
+        *[F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)]
+    )
+
+
+def pack_and_write_sidecars(
+    positions: DataFrame, root: str, m_bits: int
+) -> list[tuple[str, int]]:
+    """Consume a distinct (_f: file URI, _p: bit position) frame and
+    write one packed-bit sidecar per file, executor-side (tmp+rename so
+    a concurrent probe never reads a partial filter; on an object
+    store this helper would go through the FS client instead of
+    open()). Returns [(data-file path relative to root, n_bits_set)].
+
+    applyInPandas streams one file's positions per group — bounded by
+    m_bits entries after the distinct — rather than collect_set-ing
+    multi-megabyte arrays through a single row."""
+    import numpy as np
+    import pandas as pd
+
+    n_bytes = (m_bits + 7) // 8
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        uri = pdf["_f"].iloc[0]
+        abspath = uri[len("file:"):] if uri.startswith("file:") else uri
+        pos = pdf["_p"].to_numpy(dtype=np.int64)
+        bits = np.zeros(n_bytes, dtype=np.uint8)
+        np.bitwise_or.at(
+            bits, pos // 8, np.left_shift(1, (pos % 8).astype(np.uint8))
+        )
+        tmp = f"{abspath}.bloom.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "wb") as fh:
+            fh.write(bits.tobytes())
+        os.replace(tmp, abspath + ".bloom")
+        rel = os.path.relpath(abspath, root)
+        return pd.DataFrame({"path": [rel], "n": [len(pos)]})
+
+    out = positions.groupBy("_f").applyInPandas(pack, "path string, n long")
+    return [(r["path"], r["n"]) for r in out.collect()]
+
+
+def probe_sidecar(path: str, positions_by_value: dict) -> bool:
+    """True iff ANY probed value may be present: for some value, all k
+    of its bit positions are set. Seeks to each needed byte instead of
+    reading the filter body. An unreadable sidecar returns True (file
+    stays unprunable — same failure posture as missing footer stats)."""
+    try:
+        with open(path, "rb") as fh:
+            for positions in positions_by_value.values():
+                hit = True
+                for p in positions:
+                    fh.seek(p // 8)
+                    b = fh.read(1)
+                    if not b:
+                        # short sidecar (corruption): absence is no
+                        # longer provable — keep the file
+                        return True
+                    if not (b[0] >> (p % 8)) & 1:
+                        hit = False
+                        break
+                if hit:
+                    return True
+        return False
+    except OSError:
+        return True

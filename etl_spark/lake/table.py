@@ -260,6 +260,11 @@ class DataFile:
     # them stays sound. None = file predates the feature or stats
     # were unavailable (never pruned).
     ranges: dict[int, list] | None = None
+    # Point-lookup Bloom filter over the bucket_by column:
+    # {"path": sidecar rel path, "m": bits, "k": hashes} or None (no
+    # filter — never pruned). Built by `build_blooms()` maintenance
+    # (Iceberg Puffin-stats analog); see lake/bloom.py for soundness.
+    bloom: dict | None = None
 
     def to_json(self) -> dict:
         d = {"path": self.path, "bucket": self.bucket,
@@ -268,6 +273,8 @@ class DataFile:
             d["has_patches"] = self.has_patches
         if self.ranges is not None:
             d["ranges"] = {str(k): v for k, v in sorted(self.ranges.items())}
+        if self.bloom is not None:
+            d["bloom"] = self.bloom
         return d
 
     @staticmethod
@@ -277,6 +284,7 @@ class DataFile:
             d["path"], d["bucket"], d["schema_id"], d.get("rows", -1),
             d.get("has_patches"),
             {int(k): v for k, v in r.items()} if r is not None else None,
+            d.get("bloom"),
         )
 
 
@@ -860,6 +868,18 @@ class LakeTable:
                 out.extend(fs)
         return out
 
+    def _live_from_files(self, m: Manifest, files: list[DataFile]) -> DataFrame:
+        """Scan an already-pruned file list to live rows: merge-on-read
+        LSN resolution (patch fold where flagged), tombstones filtered.
+        System columns are kept — callers drop them."""
+        if self.write_mode(m) == "mor":
+            df = self._scan_resolved(m, files)
+        else:
+            df = self._read_files(m, files)
+        if df is None:
+            df = self.spark.createDataFrame([], m.schema.struct(with_system=True))
+        return df.filter(~F.coalesce(F.col(SYS_DELETED), F.lit(False)))
+
     def read(
         self,
         buckets: list[int] | None = None,
@@ -887,16 +907,11 @@ class LakeTable:
 
         m = self.manifest(version)
         files = m.files_for(buckets)
-        mor = self.write_mode(m) == "mor"
         if where_ranges:
-            files = self._prune_files(m, files, where_ranges, resolve=mor)
-        if mor:
-            df = self._scan_resolved(m, files)
-        else:
-            df = self._read_files(m, files)
-        if df is None:
-            df = self.spark.createDataFrame([], m.schema.struct(with_system=True))
-        df = df.filter(~F.coalesce(F.col(SYS_DELETED), F.lit(False)))
+            files = self._prune_files(
+                m, files, where_ranges, resolve=self.write_mode(m) == "mor"
+            )
+        df = self._live_from_files(m, files)
         if where_ranges:
             # residual predicate: zone maps only skip files, the rows
             # of kept files still get the exact filter
@@ -943,14 +958,212 @@ class LakeTable:
 
         Bucket ids come from `_buckets_for_values` (the writer's own
         JVM hash expression), one job over |values| literal rows
-        transferring <= num_buckets ints back."""
+        transferring <= num_buckets ints back.
+
+        Within the selected buckets, files carrying a Bloom filter
+        (`build_blooms()`) are additionally skipped when the filter
+        proves none of the probed values is present — the prune hash
+        bucketing can't give, because keys are uniform across a
+        bucket's files (lake/bloom.py documents the merge-on-read
+        soundness argument: only files with NO row of any probed key
+        are dropped, so the probed keys' LSN contests are unaffected
+        and other keys never survive the equality filter)."""
         m = self.manifest(version)
         if not values:
             return self.read(buckets=[], version=version)
         buckets = self._buckets_for_values(m, values)
-        return self.read(buckets=buckets, version=version).filter(
-            F.col(m.bucket_by).isin(values)
+        files = m.files_for(buckets)
+        files = self._prune_files_bloom(m, files, values)
+        return (
+            self._live_from_files(m, files)
+            .filter(F.col(m.bucket_by).isin(values))
+            .drop(SYS_PATCHED, SYS_LSN, SYS_DELETED)
         )
+
+    def _prune_files_bloom(
+        self, m: Manifest, files: list[DataFile], values: list
+    ) -> list[DataFile]:
+        """Drop files whose Bloom sidecar proves none of `values` is
+        present. Bloom-less files always survive. One Spark job per
+        distinct (m, k) filter config computes the probed values' bit
+        positions with the SAME JVM expression the build used; the
+        sidecars are then probed with O(k) byte seeks per (file,
+        value) — no filter bodies are read whole."""
+        from etl_spark.lake.bloom import position_columns, probe_sidecar
+
+        bloomed = [f for f in files if f.bloom]
+        if not bloomed:
+            return files
+        vals = [v for v in values if v is not None]
+        if not vals:
+            return files
+        fld = next(f for f in m.schema.fields if f.name == m.bucket_by)
+        lit_df = self.spark.createDataFrame(
+            [(v,) for v in vals],
+            T.StructType([T.StructField("_v", spark_type(fld.type))]),
+        )
+        pos_by_cfg: dict[tuple[int, int], dict] = {}
+        for cfg in sorted({(f.bloom["m"], f.bloom["k"]) for f in bloomed}):
+            mb, k = cfg
+            rows = lit_df.select(
+                F.col("_v"), position_columns(F.col("_v"), mb, k).alias("_p")
+            ).collect()
+            pos_by_cfg[cfg] = {r["_v"]: r["_p"] for r in rows}
+        out = []
+        for f in files:
+            if not f.bloom:
+                out.append(f)
+                continue
+            pos = pos_by_cfg[(f.bloom["m"], f.bloom["k"])]
+            if probe_sidecar(os.path.join(self.root, f.bloom["path"]), pos):
+                out.append(f)
+        return out
+
+    def build_blooms(
+        self,
+        bits_per_row: int = 10,
+        k: int = 7,
+    ) -> dict:
+        """Maintenance action (Iceberg compute-stats / Puffin analog):
+        build a Bloom-filter sidecar over the `bucket_by` column for
+        every data file that lacks one, then land a METADATA-ONLY
+        maintenance commit annotating the manifest entries. Data files
+        are untouched; the change feed skips the commit
+        (`maintenance_commit` stamp) and live merges rebase over it.
+
+        The build is one distributed job: each target file's column is
+        read with its own write-time schema (field-ID name lookup, so
+        pre-rename files resolve) and CAST to the current type (so a
+        post-widen probe hashes identically), bit positions come from
+        the shared JVM expression, and sidecars are packed and written
+        executor-side. Commit-loop retries re-derive the annotation
+        from the fresh manifest, so racing a compaction simply
+        annotates whatever files survive.
+
+        Returns {"files_bloomed", "m_bits", "version"}."""
+        from etl_spark.lake import bloom as _bl
+
+        m = self.manifest()
+        targets = [f for f in m.files if f.bloom is None]
+        if not targets:
+            return {"files_bloomed": 0, "m_bits": 0, "version": m.version}
+        # width from the largest target file's row count (footers are
+        # the row source of truth; DataFile.rows may be unset)
+        from concurrent.futures import ThreadPoolExecutor
+        import pyarrow.parquet as pq
+
+        def _rows(f: DataFile) -> int:
+            try:
+                return pq.ParquetFile(
+                    os.path.join(self.root, f.path)
+                ).metadata.num_rows
+            except Exception:
+                return 0
+
+        with ThreadPoolExecutor(max_workers=min(16, len(targets))) as ex:
+            max_rows = max(ex.map(_rows, targets))
+        m_bits = _bl.size_bits(max_rows, bits_per_row)
+
+        fid = next(f.id for f in m.schema.fields if f.name == m.bucket_by)
+        cur_type = spark_type(
+            next(f for f in m.schema.fields if f.name == m.bucket_by).type
+        )
+        by_sid: dict[int, list[str]] = {}
+        for f in targets:
+            by_sid.setdefault(f.schema_id, []).append(
+                os.path.join(self.root, f.path)
+            )
+        parts = []
+        for sid, paths in sorted(by_sid.items()):
+            wf = m.schemas[sid].by_id().get(fid)
+            if wf is None:
+                continue  # column postdates these files: no filter
+            df = self.spark.read.schema(
+                T.StructType([T.StructField(wf.name, spark_type(wf.type))])
+            ).parquet(*paths)
+            parts.append(
+                df.select(
+                    F.input_file_name().alias("_f"),
+                    F.col(wf.name).cast(cur_type).alias("_kv"),
+                ).filter(F.col(wf.name).isNotNull())
+            )
+        if not parts:
+            return {"files_bloomed": 0, "m_bits": m_bits, "version": m.version}
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        positions = (
+            u.select(
+                "_f",
+                F.explode(
+                    _bl.position_columns(F.col("_kv"), m_bits, k)
+                ).alias("_p"),
+            )
+            .distinct()
+        )
+        written = _bl.pack_and_write_sidecars(positions, self.root, m_bits)
+        meta_by_path = {
+            rel: {"path": rel + ".bloom", "m": m_bits, "k": k}
+            for rel, _n in written
+        }
+        if not meta_by_path:
+            return {"files_bloomed": 0, "m_bits": m_bits, "version": m.version}
+
+        # metadata-only commit loop: annotate whichever of the bloomed
+        # files still exist in the manifest that wins. Losing a race
+        # never conflicts — the annotation carries no logical state, a
+        # rebucket re-groups the same paths, and files a winner removed
+        # simply drop out (their sidecars become vacuum-able orphans).
+        import dataclasses
+
+        cur = m
+        while True:
+            ptrs, pending = cur.carry_spec()
+            touched = False
+            for b in sorted(cur.buckets()):
+                group = pending.get(b)
+                if group is None:
+                    group = cur.group(b)
+                new_group = []
+                changed = False
+                for f in group:
+                    meta = meta_by_path.get(f.path)
+                    if meta is not None and f.bloom is None:
+                        new_group.append(dataclasses.replace(f, bloom=meta))
+                        changed = True
+                    else:
+                        new_group.append(f)
+                if changed:
+                    ptrs.pop(b, None)
+                    pending[b] = new_group
+                    touched = True
+            if not touched:
+                return {
+                    "files_bloomed": 0, "m_bits": m_bits,
+                    "version": cur.version,
+                }
+            new_version = cur.version + 1
+            m2 = Manifest(
+                version=new_version,
+                num_buckets=cur.num_buckets,
+                key=cur.key,
+                bucket_by=cur.bucket_by,
+                schema=cur.schema,
+                schemas=cur.schemas,
+                bucket_ptrs=ptrs,
+                pending=pending,
+                committed_batches=dict(cur.committed_batches),
+                parent=cur.version,
+                props={**cur.props, "maintenance_commit": new_version},
+            )
+            try:
+                self._commit_manifest(m2)
+                return {
+                    "files_bloomed": len(meta_by_path), "m_bits": m_bits,
+                    "version": m2.version,
+                }
+            except FileExistsError:
+                cur = self.manifest()
 
     def read_raw(self, buckets: list[int] | None = None, version: int | None = None) -> DataFrame:
         """Scan including tombstones and system columns (merge input)."""
@@ -1326,16 +1539,27 @@ class LakeTable:
 
     # --------------------------------------------------------- evolve
     def _evolve(self, mutate) -> int:
-        """Metadata-only schema commit."""
+        """Metadata-only schema commit. The manifest's `key` and
+        `bucket_by` are NAMES, so a rename of a key/bucket column is
+        mapped through its field ID onto the new schema — otherwise
+        every later `bucket_expr`/merge/lookup would resolve a stale
+        name (regression: test_bloom.py rename-and-widen golden)."""
         m = self.manifest()
         new_fields = mutate(list(m.schema.fields))
         new_schema = TableSchema(m.schema.schema_id + 1, new_fields)
+        old_by_name = {f.name: f.id for f in m.schema.fields}
+        new_by_id = {f.id: f.name for f in new_fields}
+
+        def _track(name: str) -> str:
+            fid = old_by_name.get(name)
+            return new_by_id.get(fid, name) if fid is not None else name
+
         ptrs, pending = m.carry_spec()  # metadata-only: pointers copy
         m2 = Manifest(
             version=m.version + 1,
             num_buckets=m.num_buckets,
-            key=m.key,
-            bucket_by=m.bucket_by,
+            key=[_track(k) for k in m.key],
+            bucket_by=_track(m.bucket_by),
             schema=new_schema,
             schemas={**m.schemas, new_schema.schema_id: new_schema},
             bucket_ptrs=ptrs,
@@ -1392,6 +1616,8 @@ class LakeTable:
         return self._evolve(mut)
 
     def widen_type(self, name: str, new_type: str) -> int:
+        m0 = self.manifest()
+
         def mut(fields: list[Field]) -> list[Field]:
             out = []
             hit = False
@@ -1399,6 +1625,19 @@ class LakeTable:
                 if f.name == name:
                     if f.type != new_type and (f.type, new_type) not in ALLOWED_WIDENS:
                         raise ValueError(f"illegal widen {f.type} -> {new_type}")
+                    if f.type != new_type and name == m0.bucket_by:
+                        # xxhash64 is TYPE-sensitive (int 5 and long 5
+                        # hash differently), so widening the bucket
+                        # key would route new events to different
+                        # buckets than the same keys' existing rows —
+                        # the MERGE would silently duplicate keys.
+                        # Changing the bucket key's type is a rebucket
+                        # migration, not a metadata flip.
+                        raise ValueError(
+                            f"cannot widen bucket column {name!r}: "
+                            "bucket routing hashes by type; migrate "
+                            "via a new table + replay instead"
+                        )
                     out.append(Field(f.id, f.name, new_type))
                     hit = True
                 else:
@@ -1892,6 +2131,9 @@ class LakeTable:
             if os.path.exists(path):
                 mv = self.manifest(v)
                 referenced |= {f.path for f in mv.files}
+                referenced |= {
+                    f.bloom["path"] for f in mv.files if f.bloom
+                }
                 ref_mfs |= set(mv.bucket_ptrs.values())
         # live branches share the data directory: everything their
         # manifest chains reference survives, and the versions they
@@ -1904,6 +2146,9 @@ class LakeTable:
                 branch_vers.add(v)
                 bm = bt.manifest(v)
                 referenced |= {f.path for f in bm.files}
+                referenced |= {
+                    f.bloom["path"] for f in bm.files if f.bloom
+                }
                 ref_mfs |= set(bm.bucket_ptrs.values())
         data_dir = os.path.join(self.root, "data")
         for cdir in sorted(os.listdir(data_dir)):

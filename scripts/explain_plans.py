@@ -212,6 +212,28 @@ def main() -> None:
     checks.append(("zone-map range read prunes sorted files",
                    0 < nz_pruned < nz_full))
 
+    # Bloom point lookup: per-file key filters drop the files inside
+    # the probed buckets that contain none of the probed keys — a
+    # prune hash bucketing can't provide (keys are uniform across a
+    # bucket's files). Multi-commit MoR buckets make the effect
+    # visible: each key lives in exactly one commit's delta file.
+    bt = LakeTable.create(
+        spark, os.path.join(tdir, "tbl_bloom"),
+        [("user_id", "long"), ("v", "long")],
+        ["user_id"], "user_id", num_buckets=2, write_mode="mor",
+    )
+    for i in range(3):
+        merge_into(bt, spark.createDataFrame(
+            [(u, u, "U", i * 1000 + u) for u in range(i * 100, i * 100 + 100)],
+            "user_id long, v long, op string, lsn long",
+        ), batch_key=f"b{i}")
+    nb_pre = len(bt.lookup([5]).inputFiles())
+    bt.build_blooms()
+    nb_post = len(bt.lookup([5]).inputFiles())
+    nb_miss = len(bt.lookup([10_000_000]).inputFiles())
+    checks.append(("bloom lookup prunes key-free files in the bucket",
+                   0 < nb_post < nb_pre and nb_miss == 0))
+
     failed = [name for name, ok in checks if not ok]
     for name, ok in checks:
         print(("ok    " if ok else "FAIL  ") + name)

@@ -1,0 +1,219 @@
+"""Per-file key Bloom filters (lake/bloom.py + LakeTable.build_blooms
+/ lookup): point-lookup file skipping inside hash buckets — the
+Iceberg Puffin-stats analog zone maps can't cover (keys are uniform
+across a bucket's files, so no [min,max] ever excludes one).
+
+Soundness pins (see lake/bloom.py): pruning drops only files with NO
+row of any probed key, so it needs none of the zone-map
+bucket-granularity machinery — a probed key's merge-on-read LSN
+contest always sees its full row set, tombstones and patch deltas
+carry the key and are never dropped, and false positives only keep
+files."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from etl_spark.lake.merge import merge_into
+from etl_spark.lake.table import LakeTable
+
+
+def _mk(spark, tmp_path, mode, name="t", num_buckets=2):
+    return LakeTable.create(
+        spark, str(tmp_path / f"{name}_{mode}"),
+        [("user_id", "long"), ("v", "long")],
+        ["user_id"], "user_id", num_buckets=num_buckets, write_mode=mode,
+    )
+
+
+def _src(spark, rows):
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def _rows(lo, n, b, op="U"):
+    return [
+        dict(user_id=u, v=None if op == "D" else u * 10 + b,
+             op=op, lsn=b * 100_000 + u)
+        for u in range(lo, lo + n)
+    ]
+
+
+def test_lookup_equal_and_prunes(spark, tmp_path):
+    """Lookup results are identical before/after blooms; a probe for
+    keys absent from most files opens fewer files, and a fully absent
+    key opens none."""
+    for mode in ("cow", "mor"):
+        t = _mk(spark, tmp_path, mode)
+        for b in range(3):
+            merge_into(t, _src(spark, _rows(b * 100, 100, b)),
+                       batch_key=f"b{b}")
+        probe = [5, 150, 250, 999_999]
+        pre = sorted(
+            (r["user_id"], r["v"]) for r in t.lookup(probe).collect()
+        )
+        res = t.build_blooms()
+        assert res["files_bloomed"] > 0 and res["m_bits"] % 8 == 0
+        post_df = t.lookup(probe)
+        post = sorted((r["user_id"], r["v"]) for r in post_df.collect())
+        assert pre == post == [(5, 50), (150, 1501), (250, 2502)]
+        if mode == "mor":
+            # each probed key lives in exactly one commit's delta file
+            m = t.manifest()
+            total = len(m.files_for(t._buckets_for_values(m, [5])))
+            one = t.lookup([5])
+            assert [r["v"] for r in one.collect()] == [50]
+            assert len(one.inputFiles()) < total
+        miss = t.lookup([777_777])
+        assert miss.count() == 0 and miss.inputFiles() == []
+        # idempotent re-run: nothing left to bloom, no new commit
+        v = t.current_version()
+        again = t.build_blooms()
+        assert again["files_bloomed"] == 0 and t.current_version() == v
+
+
+def test_mor_stale_version_never_resurrects(spark, tmp_path):
+    """A key whose current image lives in a newer file must resolve
+    there even when an older file holds a stale image: both files
+    contain the key, so both survive the bloom prune."""
+    t = _mk(spark, tmp_path, "mor", num_buckets=1)
+    merge_into(t, _src(spark, [dict(user_id=1, v=5, op="U", lsn=1)]), batch_key="b0")
+    merge_into(t, _src(spark, [dict(user_id=1, v=50, op="U", lsn=2)]), batch_key="b1")
+    t.build_blooms()
+    assert [r["v"] for r in t.lookup([1]).collect()] == [50]
+
+
+def test_deletes_stay_dead_under_bloom_lookup(spark, tmp_path):
+    """A deleted key's tombstone file carries the key, so the prune
+    keeps it and the lookup returns nothing — dropping it would
+    resurrect the older live image."""
+    t = _mk(spark, tmp_path, "mor", num_buckets=1)
+    merge_into(t, _src(spark, [dict(user_id=1, v=5, op="U", lsn=1),
+                               dict(user_id=2, v=6, op="U", lsn=2)]),
+               batch_key="b0")
+    merge_into(t, _src(spark, [dict(user_id=1, v=None, op="D", lsn=3)]),
+               batch_key="b1")
+    t.build_blooms()
+    assert t.lookup([1]).count() == 0
+    assert [(r["user_id"], r["v"]) for r in t.lookup([2]).collect()] == [(2, 6)]
+
+
+def test_bloom_survives_bucket_key_rename(spark, tmp_path):
+    """Filters hash VALUES, not names: files built before a bucket_by
+    rename keep matching, because _evolve tracks key/bucket_by through
+    field IDs (regression: rename used to leave Manifest.bucket_by
+    stale, breaking every later lookup/merge) and the probe hashes the
+    value under its unchanged type."""
+    t = _mk(spark, tmp_path, "mor", name="evo")
+    merge_into(t, _src(spark, _rows(0, 50, 0)), batch_key="b0")
+    t.build_blooms()
+    t.rename_column("user_id", "uid")
+    got = t.lookup([7])
+    assert [(r["uid"], r["v"]) for r in got.collect()] == [(7, 70)]
+    assert t.lookup([999]).count() == 0  # exclusion still proves out
+    # and the table stays WRITABLE after the key rename (the stale-name
+    # bug broke merges too)
+    merge_into(
+        t,
+        _src(spark, [dict(uid=7, v=777, op="U", lsn=900_000)]),
+        batch_key="b1",
+    )
+    assert [r["v"] for r in t.lookup([7]).collect()] == [777]
+
+
+def test_bucket_key_widen_is_refused(spark, tmp_path):
+    """xxhash64 is type-sensitive (int 5 != long 5), so widening the
+    bucket column would route a key's new events to a different bucket
+    than its existing rows — the MERGE would silently duplicate keys.
+    The widen fails loud; payload/non-bucket widens stay allowed."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "widen"),
+        [("user_id", "int"), ("v", "int")],
+        ["user_id"], "user_id", num_buckets=2, write_mode="mor",
+    )
+    src = _src(spark, _rows(0, 10, 0)).select(
+        F.col("user_id").cast("int").alias("user_id"),
+        F.col("v").cast("int").alias("v"), "op", "lsn",
+    )
+    merge_into(t, src, batch_key="b0")
+    with pytest.raises(ValueError, match="bucket routing hashes by type"):
+        t.widen_type("user_id", "long")
+    t.widen_type("v", "long")  # payload widen unaffected
+    assert [r["v"] for r in t.lookup([3]).collect()] == [30]
+
+
+def test_build_annotates_only_surviving_files_after_compaction(spark, tmp_path):
+    """Compaction replaces files; a later build blooms the compacted
+    files, lookups stay exact, and vacuum removes the replaced files'
+    orphaned sidecars while keeping live ones."""
+    t = _mk(spark, tmp_path, "mor", num_buckets=1)
+    for b in range(3):
+        merge_into(t, _src(spark, _rows(b * 10, 10, b)), batch_key=f"b{b}")
+    t.build_blooms()
+    old_sidecars = {
+        f.bloom["path"] for f in t.manifest().files if f.bloom
+    }
+    assert old_sidecars
+    t.compact(max_files_per_bucket=1)
+    assert all(f.bloom is None for f in t.manifest().files)
+    res = t.build_blooms()
+    assert res["files_bloomed"] > 0
+    assert [r["v"] for r in t.lookup([15]).collect()] == [151]
+    t.expire_snapshots(keep_last=1)
+    live = {f.bloom["path"] for f in t.manifest().files if f.bloom}
+    for rel in live:
+        assert os.path.exists(os.path.join(t.root, rel))
+    for rel in old_sidecars:
+        assert not os.path.exists(os.path.join(t.root, rel))
+
+
+def test_bloom_commit_is_maintenance(spark, tmp_path):
+    """The annotation commit changes no logical state: the change feed
+    emits nothing for it and a live merge replays cleanly on top."""
+    from etl_spark.lake.changes import read_changes
+
+    t = _mk(spark, tmp_path, "cow", num_buckets=1)
+    merge_into(t, _src(spark, _rows(0, 20, 0)), batch_key="b0")
+    v0 = t.current_version()
+    t.build_blooms()
+    v1 = t.current_version()
+    assert v1 == v0 + 1
+    feed = read_changes(t, v0, v1)
+    assert feed.count() == 0
+    merge_into(t, _src(spark, _rows(0, 5, 9)), batch_key="b1")
+    assert [r["v"] for r in t.lookup([3]).collect()] == [39]
+
+
+def test_false_positive_rate_bounded(spark, tmp_path):
+    """Probe many absent keys: the measured file-level FP rate stays
+    well under 10% at the default ~10 bits/row sizing (expected ~1%).
+    Deterministic — xxhash64 is a fixed function of the values."""
+    t = _mk(spark, tmp_path, "mor", num_buckets=1)
+    merge_into(t, _src(spark, _rows(0, 2000, 0)), batch_key="b0")
+    t.build_blooms()
+    m = t.manifest()
+    f = next(f for f in m.files if f.bloom)
+    fp = 0
+    trials = 200
+    for i in range(trials):
+        probe = [1_000_000 + i]
+        if t._prune_files_bloom(m, [f], probe):
+            fp += 1
+    assert fp / trials < 0.10, f"fp rate {fp/trials}"
+
+
+def test_truncated_sidecar_keeps_file(spark, tmp_path):
+    """A corrupted (short) sidecar can no longer PROVE absence — the
+    probe must keep the file, not prune it (the failure posture is
+    always 'unprunable', matching missing footer stats)."""
+    t = _mk(spark, tmp_path, "mor", name="trunc", num_buckets=1)
+    merge_into(t, _src(spark, _rows(0, 50, 0)), batch_key="b0")
+    t.build_blooms()
+    f = next(f for f in t.manifest().files if f.bloom)
+    sc = os.path.join(t.root, f.bloom["path"])
+    with open(sc, "r+b") as fh:
+        fh.truncate(1)  # nearly everything now reads past EOF
+    assert [r["v"] for r in t.lookup([7]).collect()] == [70]
