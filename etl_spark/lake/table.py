@@ -42,7 +42,7 @@ import shutil
 import uuid
 from dataclasses import dataclass, field as dc_field
 
-from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F, types as T
 
 # System columns stored in every data file but not part of the logical
 # schema: the LSN monotonicity guard and the delete tombstone.
@@ -1206,7 +1206,7 @@ class LakeTable:
         version: int,
         bucket_counts: dict[int, int] | None = None,
         patch_buckets: set[int] | None = None,
-        range_layout: tuple[str, int] | None = None,
+        range_layout: tuple[str | Column, int] | None = None,
     ) -> list[DataFile]:
         """Write `df` (must carry BUCKET_COL plus the physical schema)
         under data/, one parquet dir per bucket, and return the new
@@ -1268,10 +1268,21 @@ class LakeTable:
             # just across buckets. The dynamic-partition writer splits
             # a boundary-spanning task into one file per bucket value,
             # so bucket integrity is untouched.
-            sort_col, n_parts = range_layout
+            sort_key, n_parts = range_layout
+            if isinstance(sort_key, Column):
+                # computed layout key (z-order Morton value): ride a
+                # temp column through the shuffle+sort, drop it before
+                # the write (projection preserves within-partition
+                # order, so files still land as runs of the key)
+                staged_df = staged_df.withColumn("_layout", sort_key)
+                sort_col = "_layout"
+            else:
+                sort_col = sort_key
             staged_df = staged_df.repartitionByRange(
                 max(1, n_parts), F.col(BUCKET_COL), F.col(sort_col)
             ).sortWithinPartitions(BUCKET_COL, sort_col)
+            if sort_col == "_layout":
+                staged_df = staged_df.drop("_layout")
         elif skewed:
             staged_df = staged_df.hint("rebalance", BUCKET_COL)
         else:
@@ -1358,7 +1369,7 @@ class LakeTable:
         expected_version: int | None = None,
         stamp_props: tuple = (),
         patch_buckets: set[int] | None = None,
-        range_layout: tuple[str, int] | None = None,
+        range_layout: tuple[str | Column, int] | None = None,
     ) -> int:
         """Copy-on-write commit: replace `replaced_buckets` with the
         contents of `df` (which must carry BUCKET_COL, system columns,
@@ -2226,6 +2237,7 @@ class LakeTable:
         tombstone_grace_lsns: int | None = None,
         sort_by: str | None = None,
         split_per_bucket: int = 4,
+        zorder_by: list[str] | None = None,
     ) -> int:
         """Rewrite buckets whose live-file count exceeds the bound.
         At 10^10-row scale this runs as a periodic maintenance job.
@@ -2241,6 +2253,15 @@ class LakeTable:
         upgrades those buckets to per-file granularity. Run with
         `max_files_per_bucket >= split_per_bucket`, or every cycle
         re-compacts the buckets it just split.
+
+        `zorder_by` (Delta OPTIMIZE ZORDER BY analog, <= 3 numeric/
+        timestamp columns) clusters each rewritten bucket on a Morton
+        key interleaving the columns' bit ranks instead of one raw
+        column: every file becomes a small axis-aligned box in
+        k-space, so its footer range is narrow on EVERY listed column
+        and `read(where_ranges=...)` prunes files for predicates on
+        any of them — a 1-D sort can only serve its prefix column.
+        Mutually exclusive with `sort_by`; see lake/zorder.py.
 
         `tombstone_grace_lsns` additionally GARBAGE-COLLECTS delete
         tombstones older than `covered_max_lsn() - grace` from the
@@ -2268,6 +2289,26 @@ class LakeTable:
             purge_below = max(0, self.covered_max_lsn(m) - int(tombstone_grace_lsns))
         if sort_by is not None and sort_by not in m.schema.names():
             raise ValueError(f"unknown sort_by column {sort_by!r}")
+        if zorder_by:
+            if sort_by is not None:
+                raise ValueError("sort_by and zorder_by are mutually exclusive")
+            from etl_spark.lake.zorder import MAX_COLS, ZORDER_TYPES
+
+            if not 1 <= len(zorder_by) <= MAX_COLS:
+                raise ValueError(
+                    f"zorder_by takes 1..{MAX_COLS} columns, got {len(zorder_by)}"
+                )
+            by_name = {f.name: f for f in m.schema.fields}
+            for c in zorder_by:
+                fld = by_name.get(c)
+                if fld is None:
+                    raise ValueError(f"unknown zorder_by column {c!r}")
+                if fld.type not in ZORDER_TYPES:
+                    raise ValueError(
+                        f"zorder_by column {c!r} ({fld.type}) is not "
+                        "rankable; strings need sampled boundaries — "
+                        "use sort_by for a 1-D string layout"
+                    )
         todo = [b for b, n in per_bucket.items() if n > max_files_per_bucket]
         if purge_below:
             # tombstone GC visits exactly the buckets holding a
@@ -2308,6 +2349,19 @@ class LakeTable:
             is_dead = F.coalesce(F.col(SYS_DELETED), F.lit(False))
             df = df.filter(~(is_dead & (F.col(SYS_LSN) < F.lit(purge_below))))
         df = df.withColumn(BUCKET_COL, self.bucket_expr(m))
+        n_splits = len(todo) * max(1, split_per_bucket)
+        if zorder_by:
+            from etl_spark.lake import zorder as _zo
+
+            zcols = [(c, by_name[c].type) for c in zorder_by]
+            # one small agg job for the rank bounds, over exactly the
+            # rewrite input (system columns along for the ride)
+            bounds = _zo.column_bounds(df, zcols)
+            layout = (_zo.zvalue_column(zcols, bounds), n_splits)
+        elif sort_by is not None:
+            layout = (sort_by, n_splits)
+        else:
+            layout = None
         # version-stamped maintenance marker: this commit reorganizes
         # files without changing logical state, so the change feed can
         # skip diffing it entirely (a stale inherited marker points at
@@ -2321,10 +2375,7 @@ class LakeTable:
                 # compaction collapses patch chains to full images:
                 # resets has_patches so these buckets skip the fold
                 patch_buckets=set(),
-                range_layout=(
-                    None if sort_by is None
-                    else (sort_by, len(todo) * max(1, split_per_bucket))
-                ),
+                range_layout=layout,
             )
         except (FileExistsError, CommitConflict):
             # lost the O_EXCL manifest race to a concurrent merge
