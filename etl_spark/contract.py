@@ -326,6 +326,81 @@ WHERE rn = 1 AND user_id IN (1, 3, 7, 11, 10000000)
 """
 
 
+def q_lake_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order multi-predicate scan (Delta OPTIMIZE ZORDER BY /
+    Iceberg z-order rewrite analog, lake/zorder.py): merge the events
+    changelog into a CoW table, compact it clustered on the Morton
+    interleave of (ts, value) — every file becomes an axis-aligned
+    box in that 2-space, narrow on BOTH columns at once — then read a
+    window constrained on both dimensions through
+    `read(where_ranges=...)`. A 1-D `sort_by` layout can only prune
+    its prefix column; the z-order layout prunes on either predicate
+    alone (plan-audited in scripts/explain_plans.py). The reference
+    full-scans the target for every query (no file statistics:
+    /root/reference/src/pipeline/core/spark.py:87). Window bounds are
+    derived as integer microseconds (ts) and an IEEE-exact
+    `mn + (mx - mn) * 0.5` double (value), so the oracle reproduces
+    them bit-for-bit; correctness never rests on the pruning (only
+    provably-out-of-range files drop, and the exact predicate is
+    re-applied as a residual)."""
+    import datetime as dt
+
+    ev = _t(spark, sf_dir, "events")
+    root = _tmp("zo")
+    table = LakeTable.create(
+        spark,
+        root,
+        fields=[("user_id", "long"), ("event_type", "string"),
+                ("value", "double"), ("ts", "timestamp")],
+        key=["user_id", "event_type"],
+        bucket_by="user_id",
+        num_buckets=16,
+    )
+    src = ev.select(
+        "user_id", "event_type", "value", "ts",
+        F.col("event_id").alias("lsn"), F.lit("U").alias("op"),
+    )
+    merge_into(
+        table, resolve_max_lsn(src, ["user_id", "event_type"]), batch_key="b0"
+    )
+    table.compact(
+        max_files_per_bucket=0, zorder_by=["ts", "value"], split_per_bucket=4
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    tmn, tmx, vmn, vmx = ev.agg(
+        F.min(us), F.max(us), F.min("value"), F.max("value")
+    ).first()
+    # ts: upper ~30% (latest-per-key images cluster near max(ts));
+    # value: lower half — the intersection keeps real rows while both
+    # predicates prune files, exercising residual filtering too
+    t_lo = tmn + (tmx - tmn) * 7 // 10
+    v_hi = vmn + (vmx - vmn) * 0.5
+
+    def _us(us: int) -> dt.datetime:
+        return dt.datetime.fromtimestamp(
+            us // 1_000_000, tz=dt.timezone.utc
+        ) + dt.timedelta(microseconds=us % 1_000_000)
+
+    return table.read(where_ranges={
+        "ts": (_us(t_lo), _us(tmx)),
+        "value": (vmn, v_hi),
+    }).select("user_id", "event_type", "value", "ts")
+
+
+SQL_LAKE_ZORDER_SCAN = """
+WITH b AS (SELECT epoch_us(min(ts)) AS tmn, epoch_us(max(ts)) AS tmx,
+                  min(value) AS vmn, max(value) AS vmx FROM events),
+     w AS (SELECT tmn + (tmx - tmn) * 7 // 10 AS tlo, tmx AS thi,
+                  vmn AS vlo, vmn + (vmx - vmn) * 0.5 AS vhi FROM b)
+SELECT user_id, event_type, value, ts
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY event_id DESC) AS rn
+      FROM events), w
+WHERE rn = 1 AND epoch_us(ts) BETWEEN w.tlo AND w.thi
+      AND value BETWEEN w.vlo AND w.vhi
+"""
+
+
 def q_cdc_delete_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE with tombstones: 'error' events delete the key; a later
     non-error event resurrects it (last-writer-wins by LSN)."""
@@ -1903,6 +1978,7 @@ QUERIES = {
     "cdc_merge_upsert": q_cdc_merge_upsert,
     "lake_pruned_scan": q_lake_pruned_scan,
     "lake_point_lookup": q_lake_point_lookup,
+    "lake_zorder_scan": q_lake_zorder_scan,
     "cdc_delete_semantics": q_cdc_delete_semantics,
     "cdc_anti_join_inserts": q_cdc_anti_join_inserts,
     "cdc_semi_join_updates": q_cdc_semi_join_updates,
@@ -1955,6 +2031,7 @@ ORACLES = {
     "cdc_merge_upsert": SQL_CDC_MERGE,
     "lake_pruned_scan": SQL_LAKE_PRUNED_SCAN,
     "lake_point_lookup": SQL_LAKE_POINT_LOOKUP,
+    "lake_zorder_scan": SQL_LAKE_ZORDER_SCAN,
     "cdc_delete_semantics": SQL_CDC_DELETE,
     "cdc_anti_join_inserts": SQL_CDC_ANTI,
     "cdc_semi_join_updates": SQL_CDC_SEMI,

@@ -234,6 +234,27 @@ def main() -> None:
     checks.append(("bloom lookup prunes key-free files in the bucket",
                    0 < nb_post < nb_pre and nb_miss == 0))
 
+    # z-order: Morton-clustered files are axis-aligned boxes in
+    # (x, y)-space, so a range read on EITHER column alone prunes —
+    # a 1-D x-sorted layout leaves y unclustered (x and y walk
+    # independent residues) and prunes nothing on y
+    zo = LakeTable.create(
+        spark, os.path.join(tdir, "tbl_zorder"),
+        [("user_id", "long"), ("x", "long"), ("y", "long")],
+        ["user_id"], "user_id", num_buckets=1,
+    )
+    merge_into(zo, spark.createDataFrame(
+        [(i, (i * 7) % 512, (i * 13) % 512, "U", i + 1) for i in range(512)],
+        "user_id long, x long, y long, op string, lsn long",
+    ), batch_key="b0")
+    zo.compact(max_files_per_bucket=0, zorder_by=["x", "y"],
+               split_per_bucket=8)
+    nzo_full = len(zo.read().inputFiles())
+    nzo_x = len(zo.read(where_ranges={"x": (0, 63)}).inputFiles())
+    nzo_y = len(zo.read(where_ranges={"y": (0, 63)}).inputFiles())
+    checks.append(("z-order read prunes on both interleaved columns",
+                   0 < nzo_x < nzo_full and 0 < nzo_y < nzo_full))
+
     failed = [name for name, ok in checks if not ok]
     for name, ok in checks:
         print(("ok    " if ok else "FAIL  ") + name)
