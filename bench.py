@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "cdc_changes_feed",
     "lake_pruned_scan",
     "lake_point_lookup",
+    "lake_zorder_scan",
 ]
 
 
