@@ -48,6 +48,18 @@ def _tmp(prefix: str) -> str:
     return path
 
 
+def _us_to_dt(us: int):
+    """Epoch-microseconds -> tz-aware UTC datetime, the inverse of
+    `lake.table._encode_stat`'s timestamp encoding — zone-map query
+    bounds built from integer micros must round-trip exactly (float
+    seconds would drift near current epochs)."""
+    import datetime as dt
+
+    return dt.datetime.fromtimestamp(
+        us // 1_000_000, tz=dt.timezone.utc
+    ) + dt.timedelta(microseconds=us % 1_000_000)
+
+
 @atexit.register
 def _cleanup_tmp() -> None:
     """Contract-query scratch (lake tables, JSON/CSV round-trips,
@@ -204,7 +216,7 @@ def q_lake_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map time-window scan: merge the events changelog into a
     CoW table, compact it SORTED on ts (range-disjoint files per
     bucket, each carrying a narrow footer [min,max] in the manifest —
-    lake/table.py DataFile.ranges), then read the middle-quartile ts
+    lake/table.py DataFile.ranges), then read the upper-tenth ts
     window through `read(where_ranges=...)`, which drops files whose
     range excludes the window BEFORE the scan is planned and applies
     the exact predicate as a residual. Hash buckets can never prune a
@@ -213,8 +225,6 @@ def q_lake_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference scans the full target for every query (no file
     statistics at all). Window bounds are derived from min/max(ts) in
     integer microseconds so the oracle reproduces them exactly."""
-    import datetime as dt
-
     ev = _t(spark, sf_dir, "events")
     root = _tmp("zscan")
     table = LakeTable.create(
@@ -243,15 +253,9 @@ def q_lake_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (so the residual predicate is exercised, not just the pruning)
     lo_us = mn + (mx - mn) * 9 // 10
     hi_us = mx
-
-    def _us(us: int) -> dt.datetime:
-        return dt.datetime.fromtimestamp(
-            us // 1_000_000, tz=dt.timezone.utc
-        ) + dt.timedelta(microseconds=us % 1_000_000)
-
-    return table.read(where_ranges={"ts": (_us(lo_us), _us(hi_us))}).select(
-        "user_id", "event_type", "value", "ts"
-    )
+    return table.read(
+        where_ranges={"ts": (_us_to_dt(lo_us), _us_to_dt(hi_us))}
+    ).select("user_id", "event_type", "value", "ts")
 
 
 SQL_LAKE_PRUNED_SCAN = """
@@ -343,8 +347,6 @@ def q_lake_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     them bit-for-bit; correctness never rests on the pruning (only
     provably-out-of-range files drop, and the exact predicate is
     re-applied as a residual)."""
-    import datetime as dt
-
     ev = _t(spark, sf_dir, "events")
     root = _tmp("zo")
     table = LakeTable.create(
@@ -375,14 +377,8 @@ def q_lake_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # predicates prune files, exercising residual filtering too
     t_lo = tmn + (tmx - tmn) * 7 // 10
     v_hi = vmn + (vmx - vmn) * 0.5
-
-    def _us(us: int) -> dt.datetime:
-        return dt.datetime.fromtimestamp(
-            us // 1_000_000, tz=dt.timezone.utc
-        ) + dt.timedelta(microseconds=us % 1_000_000)
-
     return table.read(where_ranges={
-        "ts": (_us(t_lo), _us(tmx)),
+        "ts": (_us_to_dt(t_lo), _us_to_dt(tmx)),
         "value": (vmn, v_hi),
     }).select("user_id", "event_type", "value", "ts")
 

@@ -35,10 +35,18 @@ pre-widen file's int column, and renames don't matter because the
 value, not the name, is hashed.
 
 Sidecar format: raw little-endian packed bit array of ceil(m/8)
-bytes next to the data file (`<file>.bloom`), written executor-side
-tmp+rename; the manifest's `DataFile.bloom` records {path, m, k}.
-Probing seeks to the k byte offsets instead of reading the whole
-filter — O(k) byte reads per (file, value).
+bytes next to the data file (`<file>.bloom-<m>-<k>`), written
+executor-side tmp+rename; the manifest's `DataFile.bloom` records
+{path, m, k}. The parameters are part of the FILENAME so two
+maintenance builders racing with different (m, k) configs can never
+leave the manifest's recorded parameters disagreeing with the bytes
+on disk (same-path replacement would: k=7 positions probed against a
+k=5 bit pattern "proves" present keys absent and silently drops
+rows) — each config writes its own sidecar, the annotation commit
+points at the file its own build wrote, and the loser's sidecars are
+orphans the vacuum reclaims. Probing seeks to the k byte offsets
+instead of reading the whole filter — O(k) byte reads per
+(file, value).
 """
 from __future__ import annotations
 
@@ -74,8 +82,14 @@ def position_columns(col: Column, m_bits: int, k: int) -> Column:
     )
 
 
+def sidecar_name(data_path: str, m_bits: int, k: int) -> str:
+    """Sidecar path for a data file under a (m, k) config — the
+    parameters ride the name (see module docstring)."""
+    return f"{data_path}.bloom-{m_bits}-{k}"
+
+
 def pack_and_write_sidecars(
-    positions: DataFrame, root: str, m_bits: int
+    positions: DataFrame, root: str, m_bits: int, k: int
 ) -> list[tuple[str, int]]:
     """Consume a distinct (_f: file URI, _p: bit position) frame and
     write one packed-bit sidecar per file, executor-side (tmp+rename so
@@ -99,10 +113,11 @@ def pack_and_write_sidecars(
         np.bitwise_or.at(
             bits, pos // 8, np.left_shift(1, (pos % 8).astype(np.uint8))
         )
-        tmp = f"{abspath}.bloom.tmp-{uuid.uuid4().hex[:8]}"
+        final = sidecar_name(abspath, m_bits, k)
+        tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "wb") as fh:
             fh.write(bits.tobytes())
-        os.replace(tmp, abspath + ".bloom")
+        os.replace(tmp, final)
         rel = os.path.relpath(abspath, root)
         return pd.DataFrame({"path": [rel], "n": [len(pos)]})
 

@@ -109,7 +109,7 @@ def spark_type(name: str) -> T.DataType:
 # bound can carry faithfully, and none is a range-predicate column in
 # practice.
 _STAT_TYPES = {"long", "int", "short", "byte", "double", "float",
-               "string", "timestamp"}
+               "string", "timestamp", "date"}
 
 
 def _encode_stat(v, type_name: str):
@@ -135,6 +135,15 @@ def _encode_stat(v, type_name: str):
         import calendar as _cal
 
         return _cal.timegm(v.utctimetuple()) * 1_000_000 + v.microsecond
+    if type_name == "date":
+        # days since epoch (parquet date32's own physical encoding)
+        if isinstance(v, str):
+            v = _dt.date.fromisoformat(v)
+        if isinstance(v, _dt.datetime):
+            v = v.date()
+        if not isinstance(v, _dt.date):
+            return None
+        return (v - _dt.date(1970, 1, 1)).days
     if type_name in ("double", "float"):
         return float(v)
     if type_name == "string":
@@ -148,6 +157,25 @@ def _encode_stat(v, type_name: str):
         return int(v)
     except (TypeError, ValueError):
         return None
+
+
+_COMMIT_DIR_RE = re.compile(r"c\d{10}-[0-9a-f]{12}")
+
+
+def _commit_dir(path: str) -> str:
+    """The staging-commit directory component of a data-file path —
+    the identity the merge-on-read prune-soundness rule groups by
+    (files of ONE commit hold at most one version per key). The layout
+    is produced by exactly one writer (`_stage_dataframe`:
+    data/c<version>-<token>/bucket=N/...); a correctness invariant
+    must not degrade silently if that convention ever changes, so an
+    unrecognized layout raises instead of misgrouping (two commits
+    parsing as one would let per-file pruning resurrect stale
+    versions)."""
+    parts = path.split("/")
+    if len(parts) < 3 or not _COMMIT_DIR_RE.fullmatch(parts[1]):
+        raise ValueError(f"unrecognized data-file path layout: {path!r}")
+    return parts[1]
 
 
 def _ranges_from_footer(path: str, fields) -> dict[int, list] | None:
@@ -861,7 +889,7 @@ class LakeTable:
             fs = by_bucket[b]
             # commit dir = data/c<version>-<token>/... ; one commit =
             # at most one version of any key in this bucket
-            commits = {f.path.split("/", 2)[1] for f in fs}
+            commits = {_commit_dir(f.path) for f in fs}
             if len(commits) == 1:
                 out.extend(f for f in fs if overlaps(f))
             elif any(overlaps(f) for f in fs):
@@ -1021,8 +1049,8 @@ class LakeTable:
 
     def build_blooms(
         self,
-        bits_per_row: int = 10,
-        k: int = 7,
+        bits_per_row: int | None = None,
+        k: int | None = None,
     ) -> dict:
         """Maintenance action (Iceberg compute-stats / Puffin analog):
         build a Bloom-filter sidecar over the `bucket_by` column for
@@ -1043,6 +1071,10 @@ class LakeTable:
         Returns {"files_bloomed", "m_bits", "version"}."""
         from etl_spark.lake import bloom as _bl
 
+        if bits_per_row is None:
+            bits_per_row = _bl.DEFAULT_BITS_PER_ROW
+        if k is None:
+            k = _bl.DEFAULT_K
         m = self.manifest()
         targets = [f for f in m.files if f.bloom is None]
         if not targets:
@@ -1101,9 +1133,9 @@ class LakeTable:
             )
             .distinct()
         )
-        written = _bl.pack_and_write_sidecars(positions, self.root, m_bits)
+        written = _bl.pack_and_write_sidecars(positions, self.root, m_bits, k)
         meta_by_path = {
-            rel: {"path": rel + ".bloom", "m": m_bits, "k": k}
+            rel: {"path": _bl.sidecar_name(rel, m_bits, k), "m": m_bits, "k": k}
             for rel, _n in written
         }
         if not meta_by_path:
@@ -1269,20 +1301,27 @@ class LakeTable:
             # a boundary-spanning task into one file per bucket value,
             # so bucket integrity is untouched.
             sort_key, n_parts = range_layout
+            tmp_col = None
             if isinstance(sort_key, Column):
                 # computed layout key (z-order Morton value): ride a
                 # temp column through the shuffle+sort, drop it before
                 # the write (projection preserves within-partition
-                # order, so files still land as runs of the key)
-                staged_df = staged_df.withColumn("_layout", sort_key)
-                sort_col = "_layout"
+                # order, so files still land as runs of the key). The
+                # temp name must never collide with a user column —
+                # dropping by a fixed name would silently delete a
+                # real column called "_layout" from the staged files.
+                tmp_col = "_layout"
+                while tmp_col in staged_df.columns:
+                    tmp_col = "_" + tmp_col
+                staged_df = staged_df.withColumn(tmp_col, sort_key)
+                sort_col = tmp_col
             else:
                 sort_col = sort_key
             staged_df = staged_df.repartitionByRange(
                 max(1, n_parts), F.col(BUCKET_COL), F.col(sort_col)
             ).sortWithinPartitions(BUCKET_COL, sort_col)
-            if sort_col == "_layout":
-                staged_df = staged_df.drop("_layout")
+            if tmp_col is not None:
+                staged_df = staged_df.drop(tmp_col)
         elif skewed:
             staged_df = staged_df.hint("rebalance", BUCKET_COL)
         else:
@@ -2176,6 +2215,18 @@ class LakeTable:
                 for fn in files:
                     full = os.path.join(root, fn)
                     rel = os.path.relpath(full, self.root)
+                    # a Bloom sidecar is live iff its DATA file is —
+                    # an in-flight build_blooms writes sidecars BEFORE
+                    # the annotation commit makes them `referenced`,
+                    # and deleting one in that window would leave the
+                    # landed annotation pointing at nothing (pruning
+                    # silently disabled forever: the file is never
+                    # re-targeted once f.bloom is set). Final sidecar
+                    # names only; .tmp-* leftovers of crashed builds
+                    # stay reclaimable.
+                    sc = re.fullmatch(r"(?P<data>.+)\.bloom(-\d+-\d+)?", rel)
+                    if sc is not None and sc.group("data") in referenced:
+                        continue
                     if rel not in referenced:
                         # `orphan_grace_seconds` (Iceberg
                         # remove_orphan_files `older_than` analog)

@@ -217,3 +217,48 @@ def test_truncated_sidecar_keeps_file(spark, tmp_path):
     with open(sc, "r+b") as fh:
         fh.truncate(1)  # nearly everything now reads past EOF
     assert [r["v"] for r in t.lookup([7]).collect()] == [70]
+
+
+def test_sidecar_name_carries_params(spark, tmp_path):
+    """(m, k) ride the sidecar FILENAME: a maintenance builder racing
+    with a different config can never leave the manifest's recorded
+    parameters disagreeing with the bytes on disk (same-path
+    replacement would prune present keys). Non-default params build,
+    annotate their own path, and probe exactly."""
+    t = _mk(spark, tmp_path, "mor", name="params", num_buckets=1)
+    merge_into(t, _src(spark, _rows(0, 200, 0)), batch_key="b0")
+    res = t.build_blooms(bits_per_row=12, k=5)
+    assert res["files_bloomed"] > 0
+    for f in t.manifest().files:
+        assert f.bloom["k"] == 5
+        assert f.bloom["path"].endswith(f".bloom-{f.bloom['m']}-5")
+        assert os.path.exists(os.path.join(t.root, f.bloom["path"]))
+    assert [r["v"] for r in t.lookup([7]).collect()] == [70]
+    assert t.lookup([999_999]).count() == 0
+
+
+def test_vacuum_keeps_unannotated_sidecar_of_live_file(spark, tmp_path):
+    """expire_snapshots must not reap a sidecar written by an
+    in-flight build_blooms whose annotation commit hasn't landed yet —
+    the sidecar is live iff its DATA file is (regression: the landed
+    annotation would point at nothing and pruning would be silently
+    disabled forever). Crashed builds' .tmp-* leftovers stay
+    reclaimable."""
+    t = _mk(spark, tmp_path, "cow", name="vac", num_buckets=1)
+    merge_into(t, _src(spark, _rows(0, 20, 0)), batch_key="b0")
+    merge_into(t, _src(spark, _rows(0, 20, 1)), batch_key="b1")
+    live = next(f for f in t.manifest().files if f.bloom is None)
+    side = os.path.join(t.root, live.path + ".bloom-8192-7")
+    tmp = os.path.join(t.root, live.path + ".bloom-8192-7.tmp-deadbeef")
+    for p in (side, tmp):
+        with open(p, "wb") as fh:
+            fh.write(b"\xff" * 1024)
+    t.expire_snapshots(keep_last=1)
+    assert os.path.exists(side), "unannotated sidecar of a live file reaped"
+    assert not os.path.exists(tmp), "crashed-build tmp leftover kept"
+    # and the sidecar of a DEAD data file is reclaimed with it
+    dead_rel = live.path
+    t.compact(max_files_per_bucket=0)
+    t.expire_snapshots(keep_last=1)
+    assert not os.path.exists(os.path.join(t.root, dead_rel))
+    assert not os.path.exists(side)

@@ -190,3 +190,40 @@ def test_prune_survives_timestamp_widen(spark, tmp_path):
         # nothing (conversion preserves exclusion, not just inclusion)
         t2 = t.read(where_ranges={"ts": (T0 + dt.timedelta(days=365), None)})
         assert t2.count() == 0 and t2.inputFiles() == []
+
+
+def test_date_column_zone_maps(spark, tmp_path):
+    """Date columns get footer ranges (days since epoch) and prune
+    under where_ranges with date or ISO-string bounds (regression:
+    date was z-orderable but absent from _STAT_TYPES, so the layout
+    could never be used for pruning on that dimension)."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "dt"),
+        [("user_id", "long"), ("d", "date"), ("v", "long")],
+        ["user_id"], "user_id", num_buckets=2,
+    )
+    d0 = dt.date(2024, 1, 1)
+    rows = [
+        dict(user_id=u, d=d0 + dt.timedelta(days=u), v=u, op="U", lsn=u + 1)
+        for u in range(120)
+    ]
+    merge_into(t, _src(spark, rows), batch_key="b0")
+    m = t.manifest()
+    d_id = next(f.id for f in m.schema.fields if f.name == "d")
+    for f in m.files:
+        lo, hi = f.ranges[d_id]
+        assert isinstance(lo, int) and lo <= hi  # days since epoch
+    t.compact(max_files_per_bucket=0, sort_by="d", split_per_bucket=4)
+    total = len(t.manifest().files)
+    lo, hi = d0 + dt.timedelta(days=30), d0 + dt.timedelta(days=39)
+    got = t.read(where_ranges={"d": (lo, hi)})
+    assert {r["v"] for r in got.collect()} == set(range(30, 40))
+    assert len(got.inputFiles()) < total
+    got2 = t.read(where_ranges={"d": (lo.isoformat(), hi.isoformat())})
+    assert got2.count() == 10
+    # z-order over (d, v) serves both dimensions for a date column too
+    t.compact(max_files_per_bucket=0, zorder_by=["d", "v"],
+              split_per_bucket=4)
+    both = t.read(where_ranges={"d": (lo, hi), "v": (0, 34)})
+    assert {r["v"] for r in both.collect()} == set(range(30, 35))
+    assert len(both.inputFiles()) < len(t.manifest().files)

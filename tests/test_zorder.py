@@ -174,3 +174,31 @@ def test_zorder_validation(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="not\\s+rankable"):
         t2.compact(max_files_per_bucket=0, zorder_by=["s"])
+
+
+def test_user_column_named_layout_survives_rewrites(spark, tmp_path):
+    """The clustered-rewrite temp column must never collide with a
+    user column (regression: dropping by the fixed name "_layout"
+    silently deleted a real column of that name from every rewritten
+    file — data loss on read). Both the sort_by and zorder_by paths
+    preserve it."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "lay"),
+        [("user_id", "long"), ("_layout", "long"), ("v", "long")],
+        ["user_id"], "user_id", num_buckets=1,
+    )
+    rows = [
+        dict(user_id=u, _layout=u * 3, v=u, op="U", lsn=u + 1)
+        for u in range(64)
+    ]
+    merge_into(t, spark.createDataFrame(pd.DataFrame(rows)), batch_key="b0")
+    t.compact(max_files_per_bucket=0, sort_by="_layout", split_per_bucket=2)
+    got = {(r["user_id"], r["_layout"]) for r in t.read().collect()}
+    assert got == {(u, u * 3) for u in range(64)}
+    t.compact(max_files_per_bucket=0, zorder_by=["_layout", "v"],
+              split_per_bucket=2)
+    got = {(r["user_id"], r["_layout"]) for r in t.read().collect()}
+    assert got == {(u, u * 3) for u in range(64)}
+    # and the layout still prunes on the awkwardly-named column
+    sel = t.read(where_ranges={"_layout": (0, 30)})
+    assert {r["_layout"] for r in sel.collect()} == {u * 3 for u in range(11)}
