@@ -37,16 +37,25 @@ def ensure_corpus(
     zipf_alpha: float = 1.2,
     patch_rate: float = 0.0,
     routes: int = 0,
+    gen: str | None = None,
 ):
     """Generate (or reuse) the deterministic binlog corpus.
     `zipf_alpha` > ~2 makes a handful of conversations carry most of
-    the stream (the hot-key skew corpus for salting evidence)."""
+    the stream (the hot-key skew corpus for salting evidence).
+    `gen` (or $SPARK_GRAFT_GEN): "driver" (default — the vectorized
+    single-process generator, byte-stable with existing caches) or
+    "spark" (gen/binlog_spark.py — the distributed path for corpora
+    bigger than one process; same family semantics, different seeded
+    draw stream, so it caches under its own tag)."""
     from etl_spark.gen.binlog import (
         GenConfig, gen_base, gen_binlog, gen_schema_ops, write_segments,
     )
 
     from etl_spark.gen.binlog import GEN_VERSION
 
+    gen = gen or os.environ.get("SPARK_GRAFT_GEN", "driver")
+    if gen not in ("driver", "spark"):
+        raise ValueError(f"unknown generator mode {gen!r}")
     # GEN_VERSION busts corpora cached by an older generator (same
     # config, different bytes — e.g. the round-4 vectorized draw order)
     tag = f"seed{seed}_n{n_events}_seg{segment_size}_g{GEN_VERSION}"
@@ -56,6 +65,8 @@ def ensure_corpus(
         tag += f"_pr{patch_rate}"
     if routes:
         tag += f"_r{routes}"
+    if gen == "spark":
+        tag += "_sgen"
     root = os.path.join(work_dir, f"corpus_{tag}")
     seg_dir = os.path.join(root, "segments")
     base_path = os.path.join(root, "base.parquet")
@@ -76,15 +87,24 @@ def ensure_corpus(
         os.makedirs(root, exist_ok=True)
         base = gen_base(g)
         ops = gen_schema_ops(g)
-        binlog = gen_binlog(g, base, ops)
-        if routes:
-            # shared multi-entity log: a conversation's events all
-            # carry one entity tag (route = conv index mod N), the
-            # reference's topic-per-table shape over ONE global LSN
-            binlog["entity"] = (
-                "e" + (binlog["conv_id"].str[5:].astype(int) % routes).astype(str)
+        if gen == "spark":
+            from etl_spark.gen.binlog_spark import gen_binlog_spark
+            from etl_spark.session import get_spark
+
+            gen_binlog_spark(
+                get_spark("corpus_gen"), g, base, ops, seg_dir,
+                routes=routes,
             )
-        write_segments(binlog, seg_dir)
+        else:
+            binlog = gen_binlog(g, base, ops)
+            if routes:
+                # shared multi-entity log: a conversation's events all
+                # carry one entity tag (route = conv index mod N), the
+                # reference's topic-per-table shape over ONE global LSN
+                binlog["entity"] = (
+                    "e" + (binlog["conv_id"].str[5:].astype(int) % routes).astype(str)
+                )
+            write_segments(binlog, seg_dir)
         base.to_parquet(base_path, index=False)
         with open(os.path.join(root, "_DONE"), "w") as fh:
             fh.write(tag)
@@ -108,7 +128,7 @@ def run(args) -> dict:
     routes_n = getattr(args, "routes", 0)
     seg_dir, base_path, ops = ensure_corpus(
         args.work_dir, args.seed, args.n_events, args.segment_size, zipf,
-        patch_rate, routes_n,
+        patch_rate, routes_n, gen=getattr(args, "gen_mode", None),
     )
 
     run_dir = os.path.join(args.work_dir, f"run_p{args.parallelism}")
@@ -286,6 +306,10 @@ def main() -> None:
     p.add_argument("--patch-rate", type=float, default=0.0,
                    help="fraction of updates emitted as partial-image "
                         "op='P' patches (engine runs patch_ops + CoW)")
+    p.add_argument("--gen-mode", choices=["driver", "spark"], default=None,
+                   help="corpus generator: driver (vectorized "
+                        "single-process, default) or spark "
+                        "(distributed, gen/binlog_spark.py)")
     p.add_argument("--routes", type=int, default=0,
                    help="N>0: shared multi-entity log routed into N "
                         "tables through one streaming query "
