@@ -155,11 +155,9 @@ def gen_binlog_spark(
                 {"pos": pos, "conv": conv, "gb": conv % G}
             )
 
-    positions = (
-        spark.range(0, n)
-        .repartition(max(G, int(spark.sparkContext.defaultParallelism)))
-        .mapInPandas(assign, "pos long, conv long, gb long")
-    )
+    positions = spark.range(
+        0, n, numPartitions=max(G, int(spark.sparkContext.defaultParallelism))
+    ).mapInPandas(assign, "pos long, conv long, gb long")
 
     # base live turns per conversation (turn order = insertion order,
     # matching the driver generator's initial live lists)
