@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "lake_pruned_scan",
     "lake_point_lookup",
     "lake_zorder_scan",
+    "lake_where_in_scan",
 ]
 
 

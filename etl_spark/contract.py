@@ -330,6 +330,75 @@ WHERE rn = 1 AND user_id IN (1, 3, 7, 11, 10000000)
 """
 
 
+def q_lake_where_in_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic-column Bloom equality scan (Delta bloom-filter-index /
+    Iceberg Puffin-stats analog on a NON-key column, lake/bloom.py +
+    `read(where_in=...)`): merge the events changelog into a
+    MERGE-ON-READ table in three LSN-range commits, build per-file
+    Bloom sidecars over the `value` column (`build_blooms(columns=
+    ["value"])` — hash bucketing spreads values across every bucket
+    and no sorted layout exists, so only the per-field filters can
+    prove per-file absence), then read the rows whose CURRENT value is
+    one of three probed doubles. Pruning honors the zone-map
+    merge-on-read rule (multi-commit buckets all-or-nothing: dropping
+    just one file could resurrect a stale in-set image — regression-
+    tested in tests/test_bloom.py); the exact IN predicate is applied
+    as a residual, so correctness never rests on the pruning. Probe
+    values are taken from the data itself (events 5/6/7's values), so
+    the DuckDB oracle derives bit-identical doubles from the same
+    parquet. The reference full-scans the target for every query
+    (no file statistics: /root/reference/src/pipeline/core/
+    spark.py:87)."""
+    ev = _t(spark, sf_dir, "events")
+    n = ev.count()
+    root = _tmp("whin")
+    table = LakeTable.create(
+        spark,
+        root,
+        fields=[("user_id", "long"), ("event_type", "string"),
+                ("value", "double"), ("ts", "timestamp")],
+        key=["user_id", "event_type"],
+        bucket_by="user_id",
+        num_buckets=16,
+        write_mode="mor",
+    )
+    src = ev.select(
+        "user_id", "event_type", "value", "ts",
+        F.col("event_id").alias("lsn"), F.lit("U").alias("op"),
+    )
+    bounds = [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, 1 << 60)]
+    for i, (lo, hi) in enumerate(bounds):
+        batch = resolve_max_lsn(
+            src.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi)),
+            ["user_id", "event_type"],
+        )
+        merge_into(table, batch, batch_key=f"b{i}")
+    table.build_blooms(columns=["value"])
+    # the 3 highest-LSN events are definitionally their keys' latest
+    # images, so their values are guaranteed present in the final
+    # state — the probe returns real rows, not a trivially-empty set
+    probe = [
+        r["value"]
+        for r in ev.orderBy(F.col("event_id").desc())
+        .select("value").limit(3).collect()
+        if r["value"] is not None
+    ]
+    return table.read(where_in={"value": probe}).select(
+        "user_id", "event_type", "value", "ts"
+    )
+
+
+SQL_LAKE_WHERE_IN = """
+SELECT user_id, event_type, value, ts
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+  AND value IN (SELECT value FROM events
+                ORDER BY event_id DESC LIMIT 3)
+"""
+
+
 def q_lake_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order multi-predicate scan (Delta OPTIMIZE ZORDER BY /
     Iceberg z-order rewrite analog, lake/zorder.py): merge the events
@@ -1975,6 +2044,7 @@ QUERIES = {
     "lake_pruned_scan": q_lake_pruned_scan,
     "lake_point_lookup": q_lake_point_lookup,
     "lake_zorder_scan": q_lake_zorder_scan,
+    "lake_where_in_scan": q_lake_where_in_scan,
     "cdc_delete_semantics": q_cdc_delete_semantics,
     "cdc_anti_join_inserts": q_cdc_anti_join_inserts,
     "cdc_semi_join_updates": q_cdc_semi_join_updates,
@@ -2028,6 +2098,7 @@ ORACLES = {
     "lake_pruned_scan": SQL_LAKE_PRUNED_SCAN,
     "lake_point_lookup": SQL_LAKE_POINT_LOOKUP,
     "lake_zorder_scan": SQL_LAKE_ZORDER_SCAN,
+    "lake_where_in_scan": SQL_LAKE_WHERE_IN,
     "cdc_delete_semantics": SQL_CDC_DELETE,
     "cdc_anti_join_inserts": SQL_CDC_ANTI,
     "cdc_semi_join_updates": SQL_CDC_SEMI,

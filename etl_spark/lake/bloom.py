@@ -82,14 +82,20 @@ def position_columns(col: Column, m_bits: int, k: int) -> Column:
     )
 
 
-def sidecar_name(data_path: str, m_bits: int, k: int) -> str:
+def sidecar_name(
+    data_path: str, m_bits: int, k: int, fid: int | None = None
+) -> str:
     """Sidecar path for a data file under a (m, k) config — the
-    parameters ride the name (see module docstring)."""
-    return f"{data_path}.bloom-{m_bits}-{k}"
+    parameters ride the name (see module docstring). `fid` scopes a
+    NON-key column's filter (field id), so one data file can carry one
+    sidecar per bloomed column without collisions."""
+    col = "" if fid is None else str(int(fid))
+    return f"{data_path}.bloom{col}-{m_bits}-{k}"
 
 
 def pack_and_write_sidecars(
-    positions: DataFrame, root: str, m_bits: int, k: int
+    positions: DataFrame, root: str, m_bits: int, k: int,
+    fid: int | None = None,
 ) -> list[tuple[str, int]]:
     """Consume a distinct (_f: file URI, _p: bit position) frame and
     write one packed-bit sidecar per file, executor-side (tmp+rename so
@@ -113,7 +119,7 @@ def pack_and_write_sidecars(
         np.bitwise_or.at(
             bits, pos // 8, np.left_shift(1, (pos % 8).astype(np.uint8))
         )
-        final = sidecar_name(abspath, m_bits, k)
+        final = sidecar_name(abspath, m_bits, k, fid)
         tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "wb") as fh:
             fh.write(bits.tobytes())

@@ -289,10 +289,18 @@ class DataFile:
     # were unavailable (never pruned).
     ranges: dict[int, list] | None = None
     # Point-lookup Bloom filter over the bucket_by column:
-    # {"path": sidecar rel path, "m": bits, "k": hashes} or None (no
-    # filter — never pruned). Built by `build_blooms()` maintenance
-    # (Iceberg Puffin-stats analog); see lake/bloom.py for soundness.
+    # {"path": sidecar rel path, "m": bits, "k": hashes, "t": type the
+    # values were hashed under} or None (no filter — never pruned).
+    # Built by `build_blooms()` maintenance (Iceberg Puffin-stats
+    # analog); see lake/bloom.py for soundness.
     bloom: dict | None = None
+    # Equality-skipping Bloom filters over NON-key columns, keyed by
+    # FIELD ID (rename-proof), same meta shape as `bloom`. Probed by
+    # `read(where_in=...)` under the zone-map merge-on-read rule
+    # (per-file only within single-commit buckets) — unlike the
+    # bucket-key filter, a non-key column gives no completeness
+    # guarantee for the probed rows' LSN contests.
+    col_blooms: dict[int, dict] | None = None
 
     def to_json(self) -> dict:
         d = {"path": self.path, "bucket": self.bucket,
@@ -303,16 +311,22 @@ class DataFile:
             d["ranges"] = {str(k): v for k, v in sorted(self.ranges.items())}
         if self.bloom is not None:
             d["bloom"] = self.bloom
+        if self.col_blooms is not None:
+            d["col_blooms"] = {
+                str(k): v for k, v in sorted(self.col_blooms.items())
+            }
         return d
 
     @staticmethod
     def from_json(d: dict) -> "DataFile":
         r = d.get("ranges")
+        cb = d.get("col_blooms")
         return DataFile(
             d["path"], d["bucket"], d["schema_id"], d.get("rows", -1),
             d.get("has_patches"),
             {int(k): v for k, v in r.items()} if r is not None else None,
             d.get("bloom"),
+            {int(k): v for k, v in cb.items()} if cb is not None else None,
         )
 
 
@@ -914,6 +928,7 @@ class LakeTable:
         include_system: bool = False,
         version: int | str | None = None,
         where_ranges: dict[str, tuple] | None = None,
+        where_in: dict[str, list] | None = None,
     ) -> DataFrame:
         """Scan live rows (max-LSN resolved under merge-on-read,
         tombstones filtered). `buckets` prunes the file list — the
@@ -930,16 +945,59 @@ class LakeTable:
         this is the prune path for NON-key range predicates — e.g.
         time windows over a CDC table, where each commit's files cover
         a narrow event-time band. Timestamp bounds: datetime or ISO
-        string."""
+        string.
+
+        `where_in` ({column: [values]}, native-typed values) adds
+        EQUALITY file skipping: the probed set's [min, max] prunes via
+        the zone maps, and columns carrying Bloom sidecars
+        (`build_blooms(columns=[...])`) additionally drop files whose
+        filters prove none of the values present — the path for
+        multi-value point predicates on columns where neither hash
+        bucketing nor a sorted layout helps. On the bucket column it
+        also prunes whole buckets (lookup()'s path). Exact `IN`
+        residual applied to the result; pruning is never the
+        semantics."""
         import datetime as _dt
 
         m = self.manifest(version)
+        resolve = self.write_mode(m) == "mor"
+        by_name_all = {f.name: f for f in m.schema.fields}
+        if where_in:
+            for col, vals in where_in.items():
+                fld = by_name_all.get(col)
+                if fld is None:
+                    raise ValueError(f"unknown column {col!r} in where_in")
+                if fld.type not in _STAT_TYPES:
+                    raise ValueError(
+                        f"column {col!r} ({fld.type}) has no where_in support"
+                    )
+                if not isinstance(vals, (list, tuple)) or not vals:
+                    raise ValueError(f"where_in[{col!r}] needs a non-empty list")
+            if buckets is None and m.bucket_by in where_in:
+                kv = [v for v in where_in[m.bucket_by] if v is not None]
+                buckets = self._buckets_for_values(m, kv) if kv else []
         files = m.files_for(buckets)
         if where_ranges:
-            files = self._prune_files(
-                m, files, where_ranges, resolve=self.write_mode(m) == "mor"
-            )
+            files = self._prune_files(m, files, where_ranges, resolve=resolve)
+        if where_in:
+            for col, vals in where_in.items():
+                vv = [v for v in vals if v is not None]
+                if not vv:
+                    continue
+                # the probed set's hull prunes through the zone maps
+                # (conservative: a file excluded for [min, max] is
+                # excluded for every probed value), then the Bloom
+                # sidecars prove per-value absence
+                files = self._prune_files(
+                    m, files, {col: (min(vv), max(vv))}, resolve=resolve
+                )
+                files = self._prune_files_bloom_col(
+                    m, files, col, vv, resolve=resolve
+                )
         df = self._live_from_files(m, files)
+        if where_in:
+            for col, vals in where_in.items():
+                df = df.filter(F.col(col).isin([v for v in vals if v is not None]))
         if where_ranges:
             # residual predicate: zone maps only skip files, the rows
             # of kept files still get the exact filter
@@ -1026,49 +1084,151 @@ class LakeTable:
         if not vals:
             return files
         fld = next(f for f in m.schema.fields if f.name == m.bucket_by)
-        lit_df = self.spark.createDataFrame(
-            [(v,) for v in vals],
-            T.StructType([T.StructField("_v", spark_type(fld.type))]),
+        pos_by_cfg = self._bloom_positions(
+            fld.type, vals, {self._bloom_cfg(f.bloom, fld) for f in bloomed}
         )
-        pos_by_cfg: dict[tuple[int, int], dict] = {}
-        for cfg in sorted({(f.bloom["m"], f.bloom["k"]) for f in bloomed}):
-            mb, k = cfg
-            rows = lit_df.select(
-                F.col("_v"), position_columns(F.col("_v"), mb, k).alias("_p")
-            ).collect()
-            pos_by_cfg[cfg] = {r["_v"]: r["_p"] for r in rows}
         out = []
         for f in files:
             if not f.bloom:
                 out.append(f)
                 continue
-            pos = pos_by_cfg[(f.bloom["m"], f.bloom["k"])]
+            pos = pos_by_cfg[self._bloom_cfg(f.bloom, fld)]
             if probe_sidecar(os.path.join(self.root, f.bloom["path"]), pos):
                 out.append(f)
+        return out
+
+    @staticmethod
+    def _bloom_cfg(meta: dict, fld: Field) -> tuple[int, int, str]:
+        """(m, k, hash type) of a filter. Filters built before the
+        "t" stamp hashed under the then-current type; the bucket key
+        can never widen (refused), so its current type is correct for
+        them."""
+        return (meta["m"], meta["k"], meta.get("t", fld.type))
+
+    def _bloom_positions(
+        self, cur_type_name: str, vals: list, cfgs: set
+    ) -> dict[tuple, dict]:
+        """{(m, k, t): {value: [bit positions]}} for the probed
+        values, one Spark job per distinct config, evaluating the SAME
+        JVM expression the build used — with the values CAST to each
+        filter's own build type `t` (xxhash64 is type-sensitive; a
+        probe under a post-widen type against a pre-widen filter would
+        silently prune files that contain the value). A cast that
+        cannot represent the value exactly still yields a sound probe:
+        the filter's file physically cannot contain an
+        out-of-its-type-domain value."""
+        from etl_spark.lake.bloom import position_columns
+
+        lit_df = self.spark.createDataFrame(
+            [(v,) for v in vals],
+            T.StructType([T.StructField("_v", spark_type(cur_type_name))]),
+        )
+        pos_by_cfg: dict[tuple, dict] = {}
+        for cfg in sorted(cfgs):
+            mb, k, t = cfg
+            rows = lit_df.select(
+                F.col("_v"),
+                position_columns(
+                    F.col("_v").cast(spark_type(t)), mb, k
+                ).alias("_p"),
+            ).collect()
+            pos_by_cfg[cfg] = {r["_v"]: r["_p"] for r in rows}
+        return pos_by_cfg
+
+    def _prune_files_bloom_col(
+        self,
+        m: Manifest,
+        files: list[DataFile],
+        col: str,
+        values: list,
+        resolve: bool,
+    ) -> list[DataFile]:
+        """Equality file skipping on an arbitrary column via its
+        per-field-ID Bloom sidecars (`build_blooms(columns=[...])`).
+        Unlike the bucket-key path, a non-key column gives NO
+        completeness guarantee for a probed row's LSN contest, so the
+        zone-map merge-on-read rule applies: per-file pruning only
+        within single-commit buckets; a multi-commit bucket drops only
+        when EVERY file in it proves absence (dropping just one could
+        resurrect a stale version of a key whose latest image lacks
+        the probed value). Filter-less files always count as 'may
+        contain'."""
+        from etl_spark.lake.bloom import probe_sidecar
+
+        fld = next(f for f in m.schema.fields if f.name == col)
+        vals = [v for v in values if v is not None]
+        if not vals:
+            return files
+
+        def _meta(f: DataFile):
+            if col == m.bucket_by:
+                return f.bloom
+            return (f.col_blooms or {}).get(fld.id)
+
+        cfgs = {
+            self._bloom_cfg(mt, fld)
+            for mt in (_meta(f) for f in files)
+            if mt is not None
+        }
+        if not cfgs:
+            return files
+        pos_by_cfg = self._bloom_positions(fld.type, vals, cfgs)
+
+        def may_contain(f: DataFile) -> bool:
+            mt = _meta(f)
+            if mt is None:
+                return True
+            return probe_sidecar(
+                os.path.join(self.root, mt["path"]),
+                pos_by_cfg[self._bloom_cfg(mt, fld)],
+            )
+
+        if not resolve:
+            return [f for f in files if may_contain(f)]
+        by_bucket: dict[int, list[DataFile]] = {}
+        for f in files:
+            by_bucket.setdefault(f.bucket, []).append(f)
+        out: list[DataFile] = []
+        for b in sorted(by_bucket):
+            fs = by_bucket[b]
+            commits = {_commit_dir(f.path) for f in fs}
+            if len(commits) == 1:
+                out.extend(f for f in fs if may_contain(f))
+            elif any(may_contain(f) for f in fs):
+                out.extend(fs)
         return out
 
     def build_blooms(
         self,
         bits_per_row: int | None = None,
         k: int | None = None,
+        columns: list[str] | None = None,
     ) -> dict:
         """Maintenance action (Iceberg compute-stats / Puffin analog):
-        build a Bloom-filter sidecar over the `bucket_by` column for
-        every data file that lacks one, then land a METADATA-ONLY
-        maintenance commit annotating the manifest entries. Data files
-        are untouched; the change feed skips the commit
-        (`maintenance_commit` stamp) and live merges rebase over it.
+        build Bloom-filter sidecars for every data file that lacks
+        one, then land a METADATA-ONLY maintenance commit annotating
+        the manifest entries. Data files are untouched; the change
+        feed skips the commit (`maintenance_commit` stamp) and live
+        merges rebase over it.
 
-        The build is one distributed job: each target file's column is
-        read with its own write-time schema (field-ID name lookup, so
-        pre-rename files resolve) and CAST to the current type (so a
-        post-widen probe hashes identically), bit positions come from
-        the shared JVM expression, and sidecars are packed and written
-        executor-side. Commit-loop retries re-derive the annotation
-        from the fresh manifest, so racing a compaction simply
-        annotates whatever files survive.
+        `columns` defaults to [bucket_by] — the `lookup()` point-read
+        path. Non-key columns get per-field-ID filters probed by
+        `read(where_in=...)` (equality skipping where zone maps need a
+        sorted layout and hash buckets never help); their metas record
+        the TYPE the values were hashed under ("t"), because xxhash64
+        is type-sensitive and a later widen changes the probe's cast —
+        the probe re-encodes under each filter's own build type.
 
-        Returns {"files_bloomed", "m_bits", "version"}."""
+        The build is one distributed job per column: each target
+        file's column is read with its own write-time schema (field-ID
+        name lookup, so pre-rename files resolve) and CAST to the
+        current type, bit positions come from the shared JVM
+        expression, and sidecars are packed and written executor-side.
+        Commit-loop retries re-derive the annotation from the fresh
+        manifest, so racing a compaction simply annotates whatever
+        files survive.
+
+        Returns {"files_bloomed", "m_bits", "version", "columns"}."""
         from etl_spark.lake import bloom as _bl
 
         if bits_per_row is None:
@@ -1076,9 +1236,31 @@ class LakeTable:
         if k is None:
             k = _bl.DEFAULT_K
         m = self.manifest()
-        targets = [f for f in m.files if f.bloom is None]
-        if not targets:
-            return {"files_bloomed": 0, "m_bits": 0, "version": m.version}
+        cols = list(columns) if columns else [m.bucket_by]
+        by_name = {f.name: f for f in m.schema.fields}
+        for c in cols:
+            fld = by_name.get(c)
+            if fld is None:
+                raise ValueError(f"unknown column {c!r}")
+            if fld.type not in _STAT_TYPES:
+                raise ValueError(
+                    f"column {c!r} ({fld.type}) has no Bloom support"
+                )
+
+        def _has(f: DataFile, c: str) -> bool:
+            if c == m.bucket_by:
+                return f.bloom is not None
+            return (f.col_blooms or {}).get(by_name[c].id) is not None
+
+        targets_by_col = {
+            c: [f for f in m.files if not _has(f, c)] for c in cols
+        }
+        all_targets = {
+            f.path: f for fs in targets_by_col.values() for f in fs
+        }
+        if not all_targets:
+            return {"files_bloomed": 0, "m_bits": 0, "version": m.version,
+                    "columns": cols}
         # width from the largest target file's row count (footers are
         # the row source of truth; DataFile.rows may be unset)
         from concurrent.futures import ThreadPoolExecutor
@@ -1092,54 +1274,68 @@ class LakeTable:
             except Exception:
                 return 0
 
-        with ThreadPoolExecutor(max_workers=min(16, len(targets))) as ex:
-            max_rows = max(ex.map(_rows, targets))
+        with ThreadPoolExecutor(
+            max_workers=min(16, len(all_targets))
+        ) as ex:
+            max_rows = max(ex.map(_rows, all_targets.values()))
         m_bits = _bl.size_bits(max_rows, bits_per_row)
 
-        fid = next(f.id for f in m.schema.fields if f.name == m.bucket_by)
-        cur_type = spark_type(
-            next(f for f in m.schema.fields if f.name == m.bucket_by).type
-        )
-        by_sid: dict[int, list[str]] = {}
-        for f in targets:
-            by_sid.setdefault(f.schema_id, []).append(
-                os.path.join(self.root, f.path)
+        # per column: one distributed positions job + sidecar write
+        key_meta_by_path: dict[str, dict] = {}
+        col_meta_by_path: dict[str, dict[int, dict]] = {}
+        for c in cols:
+            fld = by_name[c]
+            fid = fld.id
+            cur_type = spark_type(fld.type)
+            by_sid: dict[int, list[str]] = {}
+            for f in targets_by_col[c]:
+                by_sid.setdefault(f.schema_id, []).append(
+                    os.path.join(self.root, f.path)
+                )
+            parts = []
+            for sid, paths in sorted(by_sid.items()):
+                wf = m.schemas[sid].by_id().get(fid)
+                if wf is None:
+                    continue  # column postdates these files: no filter
+                df = self.spark.read.schema(
+                    T.StructType([T.StructField(wf.name, spark_type(wf.type))])
+                ).parquet(*paths)
+                parts.append(
+                    df.select(
+                        F.input_file_name().alias("_f"),
+                        F.col(wf.name).cast(cur_type).alias("_kv"),
+                    ).filter(F.col(wf.name).isNotNull())
+                )
+            if not parts:
+                continue
+            u = parts[0]
+            for p in parts[1:]:
+                u = u.unionByName(p)
+            positions = (
+                u.select(
+                    "_f",
+                    F.explode(
+                        _bl.position_columns(F.col("_kv"), m_bits, k)
+                    ).alias("_p"),
+                )
+                .distinct()
             )
-        parts = []
-        for sid, paths in sorted(by_sid.items()):
-            wf = m.schemas[sid].by_id().get(fid)
-            if wf is None:
-                continue  # column postdates these files: no filter
-            df = self.spark.read.schema(
-                T.StructType([T.StructField(wf.name, spark_type(wf.type))])
-            ).parquet(*paths)
-            parts.append(
-                df.select(
-                    F.input_file_name().alias("_f"),
-                    F.col(wf.name).cast(cur_type).alias("_kv"),
-                ).filter(F.col(wf.name).isNotNull())
+            name_fid = None if c == m.bucket_by else fid
+            written = _bl.pack_and_write_sidecars(
+                positions, self.root, m_bits, k, name_fid
             )
-        if not parts:
-            return {"files_bloomed": 0, "m_bits": m_bits, "version": m.version}
-        u = parts[0]
-        for p in parts[1:]:
-            u = u.unionByName(p)
-        positions = (
-            u.select(
-                "_f",
-                F.explode(
-                    _bl.position_columns(F.col("_kv"), m_bits, k)
-                ).alias("_p"),
-            )
-            .distinct()
-        )
-        written = _bl.pack_and_write_sidecars(positions, self.root, m_bits, k)
-        meta_by_path = {
-            rel: {"path": _bl.sidecar_name(rel, m_bits, k), "m": m_bits, "k": k}
-            for rel, _n in written
-        }
-        if not meta_by_path:
-            return {"files_bloomed": 0, "m_bits": m_bits, "version": m.version}
+            for rel, _n in written:
+                meta = {
+                    "path": _bl.sidecar_name(rel, m_bits, k, name_fid),
+                    "m": m_bits, "k": k, "t": fld.type,
+                }
+                if c == m.bucket_by:
+                    key_meta_by_path[rel] = meta
+                else:
+                    col_meta_by_path.setdefault(rel, {})[fid] = meta
+        if not key_meta_by_path and not col_meta_by_path:
+            return {"files_bloomed": 0, "m_bits": m_bits,
+                    "version": m.version, "columns": cols}
 
         # metadata-only commit loop: annotate whichever of the bloomed
         # files still exist in the manifest that wins. Losing a race
@@ -1152,6 +1348,7 @@ class LakeTable:
         while True:
             ptrs, pending = cur.carry_spec()
             touched = False
+            n_annotated = 0
             for b in sorted(cur.buckets()):
                 group = pending.get(b)
                 if group is None:
@@ -1159,10 +1356,24 @@ class LakeTable:
                 new_group = []
                 changed = False
                 for f in group:
-                    meta = meta_by_path.get(f.path)
-                    if meta is not None and f.bloom is None:
-                        new_group.append(dataclasses.replace(f, bloom=meta))
+                    repl = {}
+                    km = key_meta_by_path.get(f.path)
+                    if km is not None and f.bloom is None:
+                        repl["bloom"] = km
+                    cm = col_meta_by_path.get(f.path)
+                    if cm:
+                        merged = dict(f.col_blooms or {})
+                        fresh = {
+                            fid: meta for fid, meta in cm.items()
+                            if fid not in merged
+                        }
+                        if fresh:
+                            merged.update(fresh)
+                            repl["col_blooms"] = merged
+                    if repl:
+                        new_group.append(dataclasses.replace(f, **repl))
                         changed = True
+                        n_annotated += 1
                     else:
                         new_group.append(f)
                 if changed:
@@ -1172,7 +1383,7 @@ class LakeTable:
             if not touched:
                 return {
                     "files_bloomed": 0, "m_bits": m_bits,
-                    "version": cur.version,
+                    "version": cur.version, "columns": cols,
                 }
             new_version = cur.version + 1
             m2 = Manifest(
@@ -1191,8 +1402,8 @@ class LakeTable:
             try:
                 self._commit_manifest(m2)
                 return {
-                    "files_bloomed": len(meta_by_path), "m_bits": m_bits,
-                    "version": m2.version,
+                    "files_bloomed": n_annotated, "m_bits": m_bits,
+                    "version": m2.version, "columns": cols,
                 }
             except FileExistsError:
                 cur = self.manifest()
@@ -2184,6 +2395,11 @@ class LakeTable:
                 referenced |= {
                     f.bloom["path"] for f in mv.files if f.bloom
                 }
+                referenced |= {
+                    meta["path"]
+                    for f in mv.files if f.col_blooms
+                    for meta in f.col_blooms.values()
+                }
                 ref_mfs |= set(mv.bucket_ptrs.values())
         # live branches share the data directory: everything their
         # manifest chains reference survives, and the versions they
@@ -2198,6 +2414,11 @@ class LakeTable:
                 referenced |= {f.path for f in bm.files}
                 referenced |= {
                     f.bloom["path"] for f in bm.files if f.bloom
+                }
+                referenced |= {
+                    meta["path"]
+                    for f in bm.files if f.col_blooms
+                    for meta in f.col_blooms.values()
                 }
                 ref_mfs |= set(bm.bucket_ptrs.values())
         data_dir = os.path.join(self.root, "data")
@@ -2224,7 +2445,7 @@ class LakeTable:
                     # re-targeted once f.bloom is set). Final sidecar
                     # names only; .tmp-* leftovers of crashed builds
                     # stay reclaimable.
-                    sc = re.fullmatch(r"(?P<data>.+)\.bloom(-\d+-\d+)?", rel)
+                    sc = re.fullmatch(r"(?P<data>.+)\.bloom\d*(-\d+-\d+)?", rel)
                     if sc is not None and sc.group("data") in referenced:
                         continue
                     if rel not in referenced:

@@ -234,6 +234,32 @@ def main() -> None:
     checks.append(("bloom lookup prunes key-free files in the bucket",
                    0 < nb_post < nb_pre and nb_miss == 0))
 
+    # generic-column blooms: equality skipping on a NON-key column —
+    # hash bucketing spreads values everywhere and no sorted layout
+    # exists, so only the per-field Bloom sidecars can prove per-file
+    # absence. v is decorrelated from commit order (every file spans
+    # ~the full v range: the zone-map hull can't prune); compaction
+    # makes buckets single-commit so pruning is per-file.
+    gb = LakeTable.create(
+        spark, os.path.join(tdir, "tbl_colbloom"),
+        [("user_id", "long"), ("v", "long")],
+        ["user_id"], "user_id", num_buckets=2, write_mode="mor",
+    )
+    for i in range(3):
+        merge_into(gb, spark.createDataFrame(
+            [(u, (u * 37) % 1000, "U", i * 1000 + u)
+             for u in range(i * 100, i * 100 + 100)],
+            "user_id long, v long, op string, lsn long",
+        ), batch_key=f"b{i}")
+    gb.compact(max_files_per_bucket=0, split_per_bucket=4)
+    gb.build_blooms(columns=["v"])
+    probe_v = (7 * 37) % 1000
+    ng_full = len(gb.read().inputFiles())
+    ng_hit = len(gb.read(where_in={"v": [probe_v]}).inputFiles())
+    ng_miss = len(gb.read(where_in={"v": [999_983]}).inputFiles())
+    checks.append(("generic-column bloom where_in prunes value-free files",
+                   0 < ng_hit < ng_full and ng_miss == 0))
+
     # z-order: Morton-clustered files are axis-aligned boxes in
     # (x, y)-space, so a range read on EITHER column alone prunes —
     # a 1-D x-sorted layout leaves y unclustered (x and y walk

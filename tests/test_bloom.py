@@ -262,3 +262,109 @@ def test_vacuum_keeps_unannotated_sidecar_of_live_file(spark, tmp_path):
     t.expire_snapshots(keep_last=1)
     assert not os.path.exists(os.path.join(t.root, dead_rel))
     assert not os.path.exists(side)
+
+
+def _vrows(lo, n, b):
+    # v decorrelated from commit order: every commit's files span
+    # ~the full v range, so the zone-map hull can't prune and the
+    # Bloom filters are what's being exercised
+    return [
+        dict(user_id=u, v=(u * 37) % 1000 + b, op="U", lsn=b * 100_000 + u)
+        for u in range(lo, lo + n)
+    ]
+
+
+def test_generic_column_bloom_where_in(spark, tmp_path):
+    """build_blooms(columns=[...]) + read(where_in=...): equality file
+    skipping on a NON-key column. Under merge-on-read the zone-map
+    commit rule applies (multi-commit buckets all-or-nothing); after
+    sorted-free compaction (single-commit buckets) pruning goes
+    per-file. Results always equal the unpruned filter."""
+    t = _mk(spark, tmp_path, "mor", name="colb", num_buckets=2)
+    for b in range(3):
+        merge_into(t, _src(spark, _vrows(b * 100, 100, b)), batch_key=f"b{b}")
+    probe = [(7 * 37) % 1000 + 0, (150 * 37) % 1000 + 1]  # users 7, 150
+    expect = sorted(
+        (r["user_id"], r["v"])
+        for r in t.read().filter(F.col("v").isin(probe)).collect()
+    )
+    assert expect  # probe values actually exist
+    res = t.build_blooms(columns=["v"])
+    assert res["files_bloomed"] > 0 and res["columns"] == ["v"]
+    fid = next(f.id for f in t.manifest().schema.fields if f.name == "v")
+    for f in t.manifest().files:
+        assert f.col_blooms and f.col_blooms[fid]["path"].endswith(
+            f".bloom{fid}-{f.col_blooms[fid]['m']}-{f.col_blooms[fid]['k']}"
+        )
+    got = t.read(where_in={"v": probe})
+    assert sorted((r["user_id"], r["v"]) for r in got.collect()) == expect
+    # an absent value opens nothing: every bucket's files prove absence
+    miss = t.read(where_in={"v": [999_999]})
+    assert miss.count() == 0 and miss.inputFiles() == []
+    # single-commit buckets (compaction) upgrade to per-file pruning
+    t.compact(max_files_per_bucket=0, split_per_bucket=4)
+    t.build_blooms(columns=["v"])
+    total = len(t.manifest().files)
+    got2 = t.read(where_in={"v": probe})
+    assert sorted((r["user_id"], r["v"]) for r in got2.collect()) == expect
+    assert len(got2.inputFiles()) < total
+
+
+def test_where_in_never_resurrects_stale_version(spark, tmp_path):
+    """THE soundness case for non-key equality pruning: key 1's stale
+    image has v=5, its latest has v=50. Probing v=5 must return
+    nothing — per-file pruning in the multi-commit bucket would drop
+    the newer file (it lacks 5) and resurrect the stale row, so the
+    bucket is kept whole and the residual filter decides."""
+    t = _mk(spark, tmp_path, "mor", name="stale", num_buckets=1)
+    merge_into(t, _src(spark, [dict(user_id=1, v=5, op="U", lsn=1)]),
+               batch_key="b0")
+    merge_into(t, _src(spark, [dict(user_id=1, v=50, op="U", lsn=2)]),
+               batch_key="b1")
+    t.build_blooms(columns=["v"])
+    assert t.read(where_in={"v": [5]}).count() == 0
+    assert [(r["user_id"], r["v"])
+            for r in t.read(where_in={"v": [50]}).collect()] == [(1, 50)]
+
+
+def test_where_in_survives_type_widen(spark, tmp_path):
+    """Filters record the type they hashed under ("t"): after an
+    int->long widen, probing with long values re-encodes under each
+    pre-widen filter's own int domain (xxhash64 is type-sensitive —
+    hashing the longs directly would prove present values absent and
+    silently prune their files)."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "widenb"),
+        [("user_id", "long"), ("v", "int")],
+        ["user_id"], "user_id", num_buckets=1, write_mode="mor",
+    )
+    src = _src(spark, _vrows(0, 50, 0)).select(
+        "user_id", F.col("v").cast("int").alias("v"), "op", "lsn",
+    )
+    merge_into(t, src, batch_key="b0")
+    t.build_blooms(columns=["v"])
+    t.widen_type("v", "long")
+    present = int((7 * 37) % 1000)  # user 7's v
+    got = t.read(where_in={"v": [present]})
+    assert (7, present) in {(r["user_id"], r["v"]) for r in got.collect()}
+    assert t.read(where_in={"v": [999_999]}).count() == 0
+
+
+def test_where_in_on_bucket_key_matches_lookup(spark, tmp_path):
+    """where_in on the bucket column reuses bucket pruning: same rows
+    as lookup(), no Bloom build required."""
+    t = _mk(spark, tmp_path, "mor", name="wkin", num_buckets=4)
+    for b in range(2):
+        merge_into(t, _src(spark, _rows(b * 100, 100, b)), batch_key=f"b{b}")
+    probe = [5, 150, 999_999]
+    via_lookup = sorted(
+        (r["user_id"], r["v"]) for r in t.lookup(probe).collect()
+    )
+    via_read = t.read(where_in={"user_id": probe})
+    assert sorted(
+        (r["user_id"], r["v"]) for r in via_read.collect()
+    ) == via_lookup
+    m = t.manifest()
+    assert len(via_read.inputFiles()) <= len(
+        m.files_for(t._buckets_for_values(m, probe))
+    ) < len(m.files)
