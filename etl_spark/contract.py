@@ -383,6 +383,10 @@ def q_lake_where_in_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("value").limit(3).collect()
         if r["value"] is not None
     ]
+    if not probe:  # all three NULL: IN over an empty set is empty
+        return table.read(buckets=[]).select(
+            "user_id", "event_type", "value", "ts"
+        )
     return table.read(where_in={"value": probe}).select(
         "user_id", "event_type", "value", "ts"
     )

@@ -150,7 +150,13 @@ def gen_binlog_spark(
         for pdf in batches:
             pos = pdf["id"].to_numpy()
             u = _uniform(seed, K_CONV, pos)
-            conv = np.searchsorted(bc_cumw.value, u, side="right")
+            # clamp: the normalized weights' floating cumsum can land
+            # a few ULPs below 1.0, and a draw above cumw[-1] would
+            # index a phantom conversation outside the n_convs domain
+            conv = np.minimum(
+                np.searchsorted(bc_cumw.value, u, side="right"),
+                len(bc_cumw.value) - 1,
+            )
             yield pd.DataFrame(
                 {"pos": pos, "conv": conv, "gb": conv % G}
             )

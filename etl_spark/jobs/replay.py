@@ -88,13 +88,21 @@ def ensure_corpus(
         base = gen_base(g)
         ops = gen_schema_ops(g)
         if gen == "spark":
+            from pyspark.sql import SparkSession
+
             from etl_spark.gen.binlog_spark import gen_binlog_spark
             from etl_spark.session import get_spark
 
-            gen_binlog_spark(
-                get_spark("corpus_gen"), g, base, ops, seg_dir,
-                routes=routes,
-            )
+            # if no session exists yet, the corpus-gen one must NOT
+            # leak into the caller: run() builds its own with the
+            # benchmark's --parallelism, and getOrCreate would
+            # silently reuse this all-core session instead (the
+            # scaling levels would then measure identical sessions)
+            pre = SparkSession.getActiveSession()
+            sgen = get_spark("corpus_gen")
+            gen_binlog_spark(sgen, g, base, ops, seg_dir, routes=routes)
+            if pre is None:
+                sgen.stop()
         else:
             binlog = gen_binlog(g, base, ops)
             if routes:

@@ -1069,33 +1069,14 @@ class LakeTable:
     def _prune_files_bloom(
         self, m: Manifest, files: list[DataFile], values: list
     ) -> list[DataFile]:
-        """Drop files whose Bloom sidecar proves none of `values` is
-        present. Bloom-less files always survive. One Spark job per
-        distinct (m, k) filter config computes the probed values' bit
-        positions with the SAME JVM expression the build used; the
-        sidecars are then probed with O(k) byte seeks per (file,
-        value) — no filter bodies are read whole."""
-        from etl_spark.lake.bloom import position_columns, probe_sidecar
-
-        bloomed = [f for f in files if f.bloom]
-        if not bloomed:
-            return files
-        vals = [v for v in values if v is not None]
-        if not vals:
-            return files
-        fld = next(f for f in m.schema.fields if f.name == m.bucket_by)
-        pos_by_cfg = self._bloom_positions(
-            fld.type, vals, {self._bloom_cfg(f.bloom, fld) for f in bloomed}
+        """Drop files whose Bloom sidecar proves none of the probed
+        BUCKET-KEY `values` is present (lookup()'s prune). Thin alias
+        of the generic-column path: the key column always prunes
+        per-file (`resolve=False`) because probed keys' LSN contests
+        are complete regardless — see lake/bloom.py."""
+        return self._prune_files_bloom_col(
+            m, files, m.bucket_by, values, resolve=False
         )
-        out = []
-        for f in files:
-            if not f.bloom:
-                out.append(f)
-                continue
-            pos = pos_by_cfg[self._bloom_cfg(f.bloom, fld)]
-            if probe_sidecar(os.path.join(self.root, f.bloom["path"]), pos):
-                out.append(f)
-        return out
 
     @staticmethod
     def _bloom_cfg(meta: dict, fld: Field) -> tuple[int, int, str]:
@@ -1151,10 +1132,19 @@ class LakeTable:
         within single-commit buckets; a multi-commit bucket drops only
         when EVERY file in it proves absence (dropping just one could
         resurrect a stale version of a key whose latest image lacks
-        the probed value). Filter-less files always count as 'may
-        contain'."""
+        the probed value). The BUCKET KEY is the exception: a probed
+        key's rows never leave its files' bucket and tombstones/
+        patches carry the key, so its LSN contest is complete under
+        any per-file drop (lake/bloom.py) — key probes always prune
+        per-file. Filter-less files count as 'may contain'. One Spark
+        job per distinct (m, k, t) filter config computes the probed
+        values' bit positions with the SAME JVM expression the build
+        used; sidecars are probed with O(k) byte seeks per
+        (file, value) — no filter bodies are read whole."""
         from etl_spark.lake.bloom import probe_sidecar
 
+        if col == m.bucket_by:
+            resolve = False
         fld = next(f for f in m.schema.fields if f.name == col)
         vals = [v for v in values if v is not None]
         if not vals:

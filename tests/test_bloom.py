@@ -368,3 +368,14 @@ def test_where_in_on_bucket_key_matches_lookup(spark, tmp_path):
     assert len(via_read.inputFiles()) <= len(
         m.files_for(t._buckets_for_values(m, probe))
     ) < len(m.files)
+    # with key blooms built, where_in prunes PER-FILE like lookup():
+    # the bucket key is exempt from the multi-commit all-or-nothing
+    # rule (its LSN contest is complete under any per-file drop)
+    t.build_blooms()
+    a = t.read(where_in={"user_id": probe})
+    b = t.lookup(probe)
+    assert sorted((r["user_id"], r["v"]) for r in a.collect()) == via_lookup
+    assert sorted(a.inputFiles()) == sorted(b.inputFiles())
+    assert len(a.inputFiles()) < len(
+        m.files_for(t._buckets_for_values(m, probe))
+    )
