@@ -178,18 +178,21 @@ def _commit_dir(path: str) -> str:
     return parts[1]
 
 
-def _ranges_from_footer(path: str, fields) -> dict[int, list] | None:
-    """Per-column [min, max] for one staged parquet file, keyed by
-    field id, from the footer's row-group statistics — a driver-side
-    metadata read, no job. Columns whose stats are absent (or all-NULL
-    row groups mixed with missing stats) simply get no entry; a
-    failure to read the footer returns None (file never pruned)."""
+def _ranges_from_footer(
+    path: str, fields
+) -> tuple[dict[int, list] | None, int]:
+    """(per-column [min, max] keyed by field id, row count) for one
+    staged parquet file, from the footer's row-group statistics — a
+    driver-side metadata read, no job. Columns whose stats are absent
+    (or all-NULL row groups mixed with missing stats) simply get no
+    entry; a failure to read the footer returns (None, -1) (file
+    never pruned, row count unknown)."""
     import pyarrow.parquet as pq
 
     try:
         md = pq.ParquetFile(path).metadata
     except Exception:
-        return None
+        return None, -1
     names = {md.schema.column(i).name: i for i in range(md.num_columns)}
     out: dict[int, list] = {}
     for fld in fields:
@@ -218,7 +221,7 @@ def _ranges_from_footer(path: str, fields) -> dict[int, list] | None:
             mx = hi if mx is None else max(mx, hi)
         if ok and mn is not None:
             out[fld.id] = [mn, mx]
-    return out or None
+    return out or None, md.num_rows
 
 
 @dataclass(frozen=True)
@@ -581,6 +584,40 @@ class LakeTable:
             rows,
             "version long, parent long, kind string, schema_id int, "
             "num_buckets int, n_files int, n_batches int, new_batches string",
+        )
+
+    def files(self, version: int | str | None = None) -> DataFrame:
+        """Data-file inventory (Iceberg `<table>.files` metadata-table
+        analog): one row per live data file of a snapshot — path,
+        bucket, staging commit, writer schema id, row count, patch
+        bit, zone-mapped columns, and Bloom coverage. Driver-side
+        manifest walk, no data scan; the operator's view for layout
+        decisions (compaction targets, skew, stats coverage)."""
+        m = self.manifest(version)
+        id_name = {f.id: f.name for f in m.schema.fields}
+        rows = []
+        for f in m.files:
+            range_cols = ",".join(
+                id_name.get(fid, f"fid:{fid}")
+                for fid in sorted(f.ranges or {})
+            )
+            bloom_cols = ",".join(
+                ([m.bucket_by] if f.bloom else [])
+                + [
+                    id_name.get(fid, f"fid:{fid}")
+                    for fid in sorted(f.col_blooms or {})
+                ]
+            )
+            rows.append((
+                f.path, f.bucket, _commit_dir(f.path), f.schema_id,
+                f.rows if f.rows >= 0 else None, f.has_patches,
+                range_cols, bloom_cols,
+            ))
+        return self.spark.createDataFrame(
+            rows,
+            "path string, bucket int, commit string, schema_id int, "
+            "rows long, has_patches boolean, range_cols string, "
+            "bloom_cols string",
         )
 
     def manifest(self, version: int | str | None = None) -> Manifest:
@@ -1251,12 +1288,14 @@ class LakeTable:
         if not all_targets:
             return {"files_bloomed": 0, "m_bits": 0, "version": m.version,
                     "columns": cols}
-        # width from the largest target file's row count (footers are
-        # the row source of truth; DataFile.rows may be unset)
+        # width from the largest target file's row count — from the
+        # manifest when the writer recorded it, else the footer
         from concurrent.futures import ThreadPoolExecutor
         import pyarrow.parquet as pq
 
         def _rows(f: DataFile) -> int:
+            if f.rows >= 0:
+                return f.rows
             try:
                 return pq.ParquetFile(
                     os.path.join(self.root, f.path)
@@ -1563,6 +1602,7 @@ class LakeTable:
         return [
             DataFile(
                 fp, b, m.schema.schema_id,
+                rows=nr,
                 # patch bit: callers that KNOW the staged content pass
                 # patch_buckets (set() = all full images); None stays
                 # conservative
@@ -1571,7 +1611,7 @@ class LakeTable:
                 ),
                 ranges=rng,
             )
-            for (fp, b), rng in zip(new_files, all_ranges)
+            for (fp, b), (rng, nr) in zip(new_files, all_ranges)
         ]
 
     def _rebase_safe(self, base_version: int, base: Manifest, fresh: Manifest) -> bool:

@@ -379,3 +379,26 @@ def test_two_level_manifest_carries_pointers(spark, tmp_path):
     on_disk = set(_os.listdir(t._manifests_dir))
     assert live <= on_disk
     assert m0.bucket_ptrs[b1] not in on_disk  # superseded group expired
+
+
+def test_files_metadata_view(spark, tmp_path):
+    """files() (Iceberg <table>.files analog): one row per live data
+    file with recorded row counts (stage-time footer reads), the
+    staging commit, zone-mapped columns, and Bloom coverage."""
+    t = make_table(spark, tmp_path)
+    seed(spark, t)
+    t.build_blooms()
+    m = t.manifest()
+    rows = {r["path"]: r for r in t.files().collect()}
+    assert set(rows) == {f.path for f in m.files}
+    total = sum(r["rows"] for r in rows.values())
+    assert total == t.read().count()  # writer-recorded counts are real
+    for r in rows.values():
+        assert r["commit"].startswith("c") and r["rows"] > 0
+        assert "conv_id" in r["bloom_cols"]
+        assert "ts" in r["range_cols"]
+    # time travel: the view reflects the requested snapshot
+    v0_files = t.files(version=1).collect()
+    assert {r["path"] for r in v0_files} == {
+        f.path for f in t.manifest(1).files
+    }
