@@ -379,3 +379,60 @@ def test_where_in_on_bucket_key_matches_lookup(spark, tmp_path):
     assert len(a.inputFiles()) < len(
         m.files_for(t._buckets_for_values(m, probe))
     )
+
+
+def test_blooms_compose_with_branch_publish(spark, tmp_path):
+    """WAP composition: blooms built on a branch annotate the branch's
+    manifest chain, where_in works on the branch view, publishing
+    fast-forwards main, and main's reads then use the branch-built
+    sidecars (vacuum keeps them — the data files are live on main)."""
+    t = _mk(spark, tmp_path, "mor", name="br", num_buckets=2)
+    merge_into(t, _src(spark, _vrows(0, 100, 0)), batch_key="b0")
+    bt = t.create_branch("backfill")
+    merge_into(bt, _src(spark, _vrows(100, 100, 1)), batch_key="b1")
+    bt.build_blooms(columns=["v"])
+    probe = [(150 * 37) % 1000 + 1]  # user 150's v, branch-only
+    got_branch = {
+        (r["user_id"], r["v"])
+        for r in bt.read(where_in={"v": probe}).collect()
+    }
+    assert (150, probe[0]) in got_branch
+    # main doesn't see the branch rows pre-publish
+    assert t.read().filter(F.col("user_id") == 150).count() == 0
+    t.publish_branch("backfill")
+    got_main = {
+        (r["user_id"], r["v"])
+        for r in t.read(where_in={"v": probe}).collect()
+    }
+    assert (150, probe[0]) in got_main
+    t.expire_snapshots(keep_last=1)
+    got_after = {
+        (r["user_id"], r["v"])
+        for r in t.read(where_in={"v": probe}).collect()
+    }
+    assert got_after == got_main
+
+
+def test_where_in_after_erase(spark, tmp_path):
+    """GDPR composition: erasing a key physically rewrites its bucket;
+    a where_in probe for the erased row's value finds nothing, and
+    stale sidecars of the rewritten files are never consulted (the
+    erase commit reset the annotations with the files)."""
+    t = _mk(spark, tmp_path, "cow", name="er", num_buckets=2)
+    merge_into(t, _src(spark, _vrows(0, 100, 0)), batch_key="b0")
+    t.build_blooms(columns=["v"])
+    v7 = (7 * 37) % 1000
+    assert t.read(where_in={"v": [v7]}).count() == 1
+    t.erase_keys([7])
+    # the erase rewrote key 7's bucket: those fresh files carry no
+    # stale annotations (reset with the rewrite), others keep theirs
+    erased_bucket = t._buckets_for_values(t.manifest(), [7])[0]
+    for f in t.manifest().files:
+        if f.bucket == erased_bucket:
+            assert not (f.col_blooms or {})
+    assert t.read(where_in={"v": [v7]}).count() == 0
+    # untouched keys still probe exactly after a fresh build
+    t.build_blooms(columns=["v"])
+    v9 = (9 * 37) % 1000
+    assert {r["user_id"] for r in
+            t.read(where_in={"v": [v9]}).collect()} == {9}
