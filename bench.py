@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "lake_point_lookup",
     "lake_zorder_scan",
     "lake_where_in_scan",
+    "cdc_default_backfill",
 ]
 
 

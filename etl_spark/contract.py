@@ -403,6 +403,61 @@ WHERE rn = 1
 """
 
 
+def q_cdc_default_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution with an INITIAL DEFAULT (Iceberg v3
+    `initial-default` analog, lake/table.py `add_column(default=)`):
+    bootstrap a MERGE-ON-READ table from the first half of the events
+    changelog, add a `src` column with default 'bootstrap', then apply
+    the second half (whose events set src explicitly to NULL — the
+    CDC shape for a field old producers don't emit). Rows whose
+    LATEST image was written BEFORE the add read back the default via
+    field-ID alignment of the pre-add files; rows last written after
+    the add keep their stored value (explicit NULL stays NULL) — the
+    distinction a metadata-only backfill must preserve. The oracle
+    derives the same classification from the winning event's LSN."""
+    ev = _t(spark, sf_dir, "events")
+    n_half = ev.count() // 2
+    root = _tmp("dflt")
+    table = LakeTable.create(
+        spark,
+        root,
+        fields=[("user_id", "long"), ("event_type", "string"),
+                ("value", "double"), ("ts", "timestamp")],
+        key=["user_id", "event_type"],
+        bucket_by="user_id",
+        num_buckets=16,
+        write_mode="mor",
+    )
+    src = ev.select(
+        "user_id", "event_type", "value", "ts",
+        F.col("event_id").alias("lsn"), F.lit("U").alias("op"),
+    )
+    first = resolve_max_lsn(
+        src.filter(F.col("lsn") < n_half), ["user_id", "event_type"]
+    )
+    merge_into(table, first, batch_key="b0")
+    table.add_column("src", "string", default="bootstrap")
+    second = resolve_max_lsn(
+        src.filter(F.col("lsn") >= n_half), ["user_id", "event_type"]
+    ).withColumn("src", F.lit(None).cast("string"))
+    merge_into(table, second, batch_key="b1")
+    return table.read().select(
+        "user_id", "event_type", "value", "ts", "src"
+    )
+
+
+SQL_CDC_DEFAULT_BACKFILL = """
+WITH h AS (SELECT count(*) // 2 AS h FROM events)
+SELECT user_id, event_type, value, ts,
+       CASE WHEN event_id < (SELECT h FROM h)
+            THEN 'bootstrap' END AS src
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
 def q_lake_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order multi-predicate scan (Delta OPTIMIZE ZORDER BY /
     Iceberg z-order rewrite analog, lake/zorder.py): merge the events
@@ -2049,6 +2104,7 @@ QUERIES = {
     "lake_point_lookup": q_lake_point_lookup,
     "lake_zorder_scan": q_lake_zorder_scan,
     "lake_where_in_scan": q_lake_where_in_scan,
+    "cdc_default_backfill": q_cdc_default_backfill,
     "cdc_delete_semantics": q_cdc_delete_semantics,
     "cdc_anti_join_inserts": q_cdc_anti_join_inserts,
     "cdc_semi_join_updates": q_cdc_semi_join_updates,
@@ -2103,6 +2159,7 @@ ORACLES = {
     "lake_point_lookup": SQL_LAKE_POINT_LOOKUP,
     "lake_zorder_scan": SQL_LAKE_ZORDER_SCAN,
     "lake_where_in_scan": SQL_LAKE_WHERE_IN,
+    "cdc_default_backfill": SQL_CDC_DEFAULT_BACKFILL,
     "cdc_delete_semantics": SQL_CDC_DELETE,
     "cdc_anti_join_inserts": SQL_CDC_ANTI,
     "cdc_semi_join_updates": SQL_CDC_SEMI,

@@ -45,7 +45,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from etl_spark.lake.table import SYS_DELETED, SYS_LSN, LakeTable, spark_type
+from etl_spark.lake.table import (
+    SYS_DELETED,
+    SYS_LSN,
+    LakeTable,
+    absent_column_expr,
+    spark_type,
+)
 
 CHANGE_TYPE = "_change_type"
 COMMIT_VERSION = "_commit_version"
@@ -263,8 +269,9 @@ def read_changes(
         cols = []
         for fld in target.fields:
             w = written.get(fld.id)
-            if w is None:  # column added after commit v
-                cols.append(F.lit(None).cast(spark_type(fld.type)).alias(fld.name))
+            if w is None:  # column added after commit v: initial
+                # default (or NULL) — same backfill as the read path
+                cols.append(absent_column_expr(fld))
             else:
                 c = F.col(w.name)
                 if w.type != fld.type:  # widened since commit v

@@ -113,10 +113,11 @@ CHANGE_COLS = ["_change_type", "_commit_version", "_change_lsn"]
 def read_exported(spark, out_dir: str) -> DataFrame:
     """Downstream view of the exported feed: every window aligned onto
     the NEWEST window's schema by field ID (rename-safe, widen-casting,
-    NULL for columns that did not yet exist) and unioned."""
+    initial-default-or-NULL for columns that did not yet exist)
+    and unioned."""
     from pyspark.sql import functions as F
 
-    from etl_spark.lake.table import Field, spark_type
+    from etl_spark.lake.table import Field, absent_column_expr, spark_type
 
     dirs = sorted(
         (d for d in os.listdir(out_dir) if d.startswith("from=")),
@@ -137,8 +138,9 @@ def read_exported(spark, out_dir: str) -> DataFrame:
         cols = []
         for tf in target:
             w = by_id.get(tf.id)
-            if w is None:  # column added after this window was exported
-                cols.append(F.lit(None).cast(spark_type(tf.type)).alias(tf.name))
+            if w is None:  # column added after this window was
+                # exported: initial default (or NULL), same as reads
+                cols.append(absent_column_expr(tf))
             else:
                 c = F.col(w.name)
                 if w.type != tf.type:  # widened since this window

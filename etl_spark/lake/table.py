@@ -159,6 +159,15 @@ def _encode_stat(v, type_name: str):
         return None
 
 
+def absent_column_expr(fld: "Field"):
+    """Read-time expression for a column a file PREDATES (field-ID
+    alignment found no entry in the write schema): the field's initial
+    default if one was declared (`add_column(..., default=)`), else
+    NULL. One definition shared by every alignment site (table read,
+    change feed, export) so the backfill semantics cannot diverge."""
+    return F.lit(fld.default).cast(spark_type(fld.type)).alias(fld.name)
+
+
 _COMMIT_DIR_RE = re.compile(r"c\d{10}-[0-9a-f]{12}")
 
 
@@ -229,13 +238,24 @@ class Field:
     id: int
     name: str
     type: str  # type string, e.g. "string", "long", "decimal(38,0)"
+    # Initial default (Iceberg v3 `initial-default` analog): the value
+    # rows written BEFORE this column existed read back as, instead of
+    # NULL. Applies only when the FILE lacks the column (field-ID
+    # alignment); rows written after the add store their own value —
+    # including explicit NULLs — and a rewrite (CoW carry, compaction)
+    # materializes the default physically, exactly like Iceberg. A
+    # JSON-encodable literal of the column's logical type.
+    default: object = None
 
     def to_json(self) -> dict:
-        return {"id": self.id, "name": self.name, "type": self.type}
+        d = {"id": self.id, "name": self.name, "type": self.type}
+        if self.default is not None:
+            d["default"] = self.default
+        return d
 
     @staticmethod
     def from_json(d: dict) -> "Field":
-        return Field(d["id"], d["name"], d["type"])
+        return Field(d["id"], d["name"], d["type"], d.get("default"))
 
 
 @dataclass
@@ -734,7 +754,7 @@ class LakeTable:
             for fld in cur.fields:
                 w = written_by_id.get(fld.id)
                 if w is None:  # column added after this file was written
-                    cols.append(F.lit(None).cast(spark_type(fld.type)).alias(fld.name))
+                    cols.append(absent_column_expr(fld))
                 else:
                     c = F.col(w.name)
                     if w.type != fld.type:  # widened since write
@@ -1862,7 +1882,13 @@ class LakeTable:
         self._commit_manifest(m2)
         return m2.version
 
-    def add_column(self, name: str, type_: str) -> int:
+    def add_column(self, name: str, type_: str, default=None) -> int:
+        """Add a column (metadata-only). `default` (Iceberg v3
+        initial-default analog) is the value ROWS WRITTEN BEFORE the
+        add read back as — files lacking the field backfill it at
+        alignment time instead of NULL; rows written after the add
+        store their own values (including explicit NULLs), and
+        rewrites materialize the default physically."""
         # allocate the id above every field EVER used (all historical
         # schemas), not just the live ones: after a drop_column,
         # max(live)+1 would recycle the dropped field's id and the
@@ -1873,10 +1899,15 @@ class LakeTable:
             f.id for s in m.schemas.values() for f in s.fields
         )
 
+        if default is not None:
+            # fail at declaration, not at first read: the default must
+            # be a JSON-encodable literal castable to the column type
+            json.dumps(default)
+
         def mut(fields: list[Field]) -> list[Field]:
             if any(f.name == name for f in fields):
                 raise ValueError(f"column {name} exists")
-            return fields + [Field(next_id, name, type_)]
+            return fields + [Field(next_id, name, type_, default)]
 
         return self._evolve(mut)
 
@@ -1902,7 +1933,10 @@ class LakeTable:
                 raise ValueError(f"no column {old}")
             if any(f.name == new for f in fields):
                 raise ValueError(f"column {new} exists")
-            return [Field(f.id, new if f.name == old else f.name, f.type) for f in fields]
+            return [
+                Field(f.id, new if f.name == old else f.name, f.type, f.default)
+                for f in fields
+            ]
 
         return self._evolve(mut)
 
@@ -1929,7 +1963,7 @@ class LakeTable:
                             "bucket routing hashes by type; migrate "
                             "via a new table + replay instead"
                         )
-                    out.append(Field(f.id, f.name, new_type))
+                    out.append(Field(f.id, f.name, new_type, f.default))
                     hit = True
                 else:
                     out.append(f)

@@ -402,3 +402,50 @@ def test_files_metadata_view(spark, tmp_path):
     assert {r["path"] for r in v0_files} == {
         f.path for f in t.manifest(1).files
     }
+
+
+def test_add_column_initial_default(spark, tmp_path):
+    """Iceberg v3 initial-default analog: rows written BEFORE the add
+    read back as the declared default (file-level field-ID alignment);
+    rows written after store their own values including explicit
+    NULLs; rewrites materialize the default; rename/widen preserve it;
+    the change feed backfills pre-add commits the same way."""
+    from etl_spark.lake.changes import read_changes
+    from etl_spark.lake.merge import merge_into
+
+    t = make_table(spark, tmp_path)
+    seed(spark, t)  # 20 rows written pre-add
+    v_pre = t.current_version()
+    t.add_column("quality", "string", default="unreviewed")
+    src = spark.createDataFrame(pd.DataFrame(dict(
+        conv_id=["c0", "c1"], turn_idx=[100, 101], text=["a", "b"],
+        ts=[500, 501], quality=["good", None], lsn=[500, 501],
+        op=["U", "U"],
+    ))).withColumn("turn_idx", F.col("turn_idx").cast("int"))
+    merge_into(t, src, batch_key="post-add")
+    got = {(r["conv_id"], r["turn_idx"]): r["quality"]
+           for r in t.read().collect()}
+    assert got[("c0", 100)] == "good"
+    assert got[("c1", 101)] is None  # explicit NULL stays NULL
+    pre_add = {k: v for k, v in got.items() if k[1] < 100}
+    assert len(pre_add) == 20 and set(pre_add.values()) == {"unreviewed"}
+    # a feed window ending AFTER the add aligns pre-add commits'
+    # rows with the default (window-end schema)
+    ch = read_changes(t, 0, t.current_version())
+    by_turn = {r["turn_idx"]: r["quality"] for r in ch.collect()}
+    assert by_turn[0] == "unreviewed" and by_turn[100] == "good"
+    del v_pre
+    # evolution keeps the default attached to the field
+    t.rename_column("quality", "review_state")
+    got2 = {(r["conv_id"], r["turn_idx"]): r["review_state"]
+            for r in t.read().collect()}
+    assert got2[("c0", 0)] == "unreviewed" and got2[("c0", 100)] == "good"
+    # compaction materializes it physically; reads are unchanged
+    t.compact(max_files_per_bucket=0)
+    got3 = {(r["conv_id"], r["turn_idx"]): r["review_state"]
+            for r in t.read().collect()}
+    assert got3 == got2
+    # non-encodable defaults fail at declaration
+    import pytest as _pytest
+    with _pytest.raises(TypeError):
+        t.add_column("bad", "string", default=object())
