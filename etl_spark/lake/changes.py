@@ -239,8 +239,9 @@ def read_changes(
     emitted in that commit's own schema, then aligned onto the
     to_version schema BY FIELD ID before the union — rename-safe
     (a renamed column's history appears under its current name, not as
-    two half-null columns) and widen-casting, with NULL for columns
-    that did not yet exist. The same field-ID mapping the table's
+    two half-null columns) and widen-casting, with the field's initial
+    default — or NULL — for columns that did not yet exist
+    (`absent_column_expr`). The same field-ID mapping the table's
     read path uses for old data files (`_read_files`)."""
     to_version = (
         to_version if to_version is not None else table.current_version()

@@ -1901,8 +1901,22 @@ class LakeTable:
 
         if default is not None:
             # fail at declaration, not at first read: the default must
-            # be a JSON-encodable literal castable to the column type
-            json.dumps(default)
+            # be a JSON-encodable literal (no NaN/inf — not JSON) that
+            # CASTS to the column type non-null, else every later
+            # read/feed/export would throw or silently backfill NULL
+            json.dumps(default, allow_nan=False)
+            try:  # ANSI throws on a bad cast; non-ANSI yields NULL
+                probe = self.spark.range(1).select(
+                    F.lit(default).cast(spark_type(type_)).alias("_d")
+                ).first()["_d"]
+            except Exception as e:
+                raise ValueError(
+                    f"default {default!r} does not cast to {type_}"
+                ) from e
+            if probe is None:
+                raise ValueError(
+                    f"default {default!r} does not cast to {type_}"
+                )
 
         def mut(fields: list[Field]) -> list[Field]:
             if any(f.name == name for f in fields):

@@ -434,7 +434,12 @@ def test_add_column_initial_default(spark, tmp_path):
     ch = read_changes(t, 0, t.current_version())
     by_turn = {r["turn_idx"]: r["quality"] for r in ch.collect()}
     assert by_turn[0] == "unreviewed" and by_turn[100] == "good"
-    del v_pre
+    # time travel to a pre-add snapshot: the column does not exist
+    assert "quality" not in t.read(version=v_pre).columns
+    # uncastable defaults fail at declaration too
+    import pytest as _pt
+    with _pt.raises(ValueError, match="does not cast"):
+        t.add_column("n_bad", "long", default="oops")
     # evolution keeps the default attached to the field
     t.rename_column("quality", "review_state")
     got2 = {(r["conv_id"], r["turn_idx"]): r["review_state"]
