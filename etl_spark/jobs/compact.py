@@ -57,6 +57,14 @@ def main() -> None:
         help="with --expire-keep-last: drop old manifests but keep "
         "unreferenced data files on disk",
     )
+    p.add_argument(
+        "--build-blooms", nargs="*", metavar="COLUMN", default=None,
+        help="after compacting, (re)build Bloom sidecars for files "
+        "that lack them: no COLUMN = the bucket key (lookup path); "
+        "named columns get where_in equality-skipping filters "
+        "(Iceberg compute-stats analog; run it here because "
+        "compaction replaces files and resets their filters)",
+    )
     args = p.parse_args()
 
     from etl_spark.lake.table import LakeTable
@@ -83,6 +91,10 @@ def main() -> None:
         "files_after": len(after.files),
         "compacted": version != before.version,
     }
+    if args.build_blooms is not None:
+        out["blooms"] = table.build_blooms(
+            columns=args.build_blooms or None
+        )
     if args.expire_keep_last > 0:
         out["expire"] = table.expire_snapshots(
             keep_last=args.expire_keep_last,
