@@ -436,3 +436,60 @@ def test_where_in_after_erase(spark, tmp_path):
     v9 = (9 * 37) % 1000
     assert {r["user_id"] for r in
             t.read(where_in={"v": [v9]}).collect()} == {9}
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(0, 2**16),
+    n_commits=st.integers(1, 4),
+    mode=st.sampled_from(["cow", "mor"]),
+    compact_first=st.booleans(),
+    n_probe=st.integers(1, 5),
+)
+def test_where_in_equals_plain_filter_property(
+    spark, tmp_path_factory, seed, n_commits, mode, compact_first, n_probe
+):
+    """Property: for ANY commit pattern (1-4 overlapping merges, CoW
+    or MoR, optionally compacted), Bloom-pruned read(where_in=...)
+    equals the unpruned IN filter — pruning is a planning
+    optimization, never the semantics. Probes mix present and absent
+    values; keys overlap across commits so MoR buckets are
+    multi-commit (the all-or-nothing rule's domain) and stale
+    versions' values are probed against newer images."""
+    import random
+
+    rng = random.Random(seed)
+    tmp_path = tmp_path_factory.mktemp("whprop")
+    t = _mk(spark, tmp_path, mode, name=f"p{seed}", num_buckets=2)
+    domain = list(range(40))
+    all_vals = set()
+    for b in range(n_commits):
+        users = rng.sample(domain, 25)
+        rows = [
+            dict(user_id=u, v=rng.randrange(100), op="U",
+                 lsn=b * 1000 + i + 1)
+            for i, u in enumerate(users)
+        ]
+        all_vals.update(r["v"] for r in rows)
+        merge_into(t, _src(spark, rows), batch_key=f"b{b}")
+    if compact_first:
+        t.compact(max_files_per_bucket=0, split_per_bucket=2)
+    t.build_blooms(columns=["v"])
+    probe = rng.sample(sorted(all_vals), min(n_probe, len(all_vals)))
+    probe.append(10_000 + rng.randrange(100))  # always-absent value
+    expect = sorted(
+        (r["user_id"], r["v"])
+        for r in t.read().filter(F.col("v").isin(probe)).collect()
+    )
+    got = sorted(
+        (r["user_id"], r["v"])
+        for r in t.read(where_in={"v": probe}).collect()
+    )
+    assert got == expect
