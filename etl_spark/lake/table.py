@@ -598,12 +598,14 @@ class LakeTable:
                     len(m.files),
                     len(m.committed_batches),
                     ",".join(new_batches),
+                    m.props.get("committed_at_us"),
                 )
             )
         return self.spark.createDataFrame(
             rows,
             "version long, parent long, kind string, schema_id int, "
-            "num_buckets int, n_files int, n_batches int, new_batches string",
+            "num_buckets int, n_files int, n_batches int, "
+            "new_batches string, committed_at_us long",
         )
 
     def files(self, version: int | str | None = None) -> DataFrame:
@@ -640,8 +642,44 @@ class LakeTable:
             "bloom_cols string",
         )
 
+    def version_at(self, ts) -> int:
+        """Greatest retained version committed at or before `ts`
+        (datetime — naive = UTC — or epoch micros int): the Iceberg
+        as-of-timestamp snapshot resolution. Stamps come from commit
+        wall time (`committed_at_us`), so clock skew across writers
+        can be non-monotone — the scan takes the max VERSION whose
+        stamp <= ts, which degrades toward older snapshots, never a
+        future one. Manifests predating the stamp count as epoch 0."""
+        import datetime as _dt
+
+        if isinstance(ts, _dt.datetime):
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
+            ts = int(ts.timestamp() * 1_000_000)
+        best = None
+        for name in sorted(os.listdir(self._meta_dir)):
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
+            v = int(name[1:-5])
+            with open(os.path.join(self._meta_dir, name)) as fh:
+                stamp = json.load(fh).get("props", {}).get(
+                    "committed_at_us", 0
+                )
+            if stamp <= ts and (best is None or v > best):
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no retained snapshot committed at or before {ts}"
+            )
+        return best
+
     def manifest(self, version: int | str | None = None) -> Manifest:
-        """`version` may be an int, None (current), or a tag name."""
+        """`version` may be an int, None (current), a tag name, or a
+        datetime (as-of-timestamp time travel via `version_at`)."""
+        import datetime as _dt
+
+        if isinstance(version, _dt.datetime):
+            version = self.version_at(version)
         if isinstance(version, str):
             version = self.tag_version(version)
         v = version if version is not None else self.current_version()
@@ -672,6 +710,14 @@ class LakeTable:
                 m.bucket_ptrs[b] = name
                 m._loaded[b] = group  # keep readable without re-IO
             m._groups = {}
+        # commit wall time (Iceberg snapshot timestamp-ms analog):
+        # metadata only — never part of data, checksums, or plans —
+        # powering as-of-timestamp time travel and the history() view.
+        # Retries restamp; publish_branch's renames keep the branch
+        # commit's original time, as Iceberg fast-forward does.
+        import time as _time
+
+        m.props = {**m.props, "committed_at_us": _time.time_ns() // 1_000}
         path = self._manifest_path(m.version)
         payload = json.dumps(m.to_json(), indent=1).encode()
         fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)

@@ -454,3 +454,36 @@ def test_add_column_initial_default(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(TypeError):
         t.add_column("bad", "string", default=object())
+
+
+def test_as_of_timestamp_time_travel(spark, tmp_path):
+    """Iceberg as-of-timestamp analog: every commit stamps its wall
+    time; read(version=<datetime>) resolves to the greatest snapshot
+    committed at or before it. history() exposes the stamps."""
+    import datetime as dt
+    import time
+
+    from etl_spark.lake.merge import merge_into
+
+    t = make_table(spark, tmp_path)
+    seed(spark, t)  # v1
+    t_between = dt.datetime.now(dt.timezone.utc)
+    time.sleep(0.01)
+    src = spark.createDataFrame(pd.DataFrame(dict(
+        conv_id=["c0"], turn_idx=[999], text=["late"], ts=[900],
+        lsn=[900], op=["U"],
+    ))).withColumn("turn_idx", F.col("turn_idx").cast("int"))
+    merge_into(t, src, batch_key="late")  # v2
+    assert t.version_at(t_between) == 1
+    old = t.read(version=t_between)
+    assert old.filter(F.col("turn_idx") == 999).count() == 0
+    assert old.count() == t.read(version=1).count()
+    now = t.read(version=dt.datetime.now(dt.timezone.utc))
+    assert now.filter(F.col("turn_idx") == 999).count() == 1
+    stamps = {r["version"]: r["committed_at_us"]
+              for r in t.history().collect()}
+    assert all(s and s > 0 for s in stamps.values())
+    # a timestamp before the table existed fails loud
+    import pytest as _pt
+    with _pt.raises(ValueError, match="no retained snapshot"):
+        t.version_at(dt.datetime(2000, 1, 1, tzinfo=dt.timezone.utc))
