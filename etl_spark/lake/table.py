@@ -2464,6 +2464,7 @@ class LakeTable:
         keep_last: int = 2,
         vacuum: bool = True,
         orphan_grace_seconds: float = 0.0,
+        older_than=None,
     ) -> dict:
         """Retention maintenance (Iceberg `expire_snapshots` +
         `remove_orphan_files` analog): drop manifests older than the
@@ -2473,6 +2474,12 @@ class LakeTable:
         manifest ever referenced (a crash between staging and the
         O_EXCL manifest create leaves garbage, never corruption; this
         is where the garbage gets collected).
+
+        `older_than` (datetime — naive = UTC — or epoch micros;
+        Iceberg's `older_than` + `retain_last` shape) further
+        RESTRICTS removal to snapshots whose commit stamp predates it:
+        age-based retention for time-travel SLAs, with `keep_last` as
+        the floor that always survives regardless of age.
 
         Safety: files under commit dirs numbered ABOVE the current
         version are never touched — a concurrent writer may be staging
@@ -2490,6 +2497,13 @@ class LakeTable:
                 "expire_snapshots runs on the main view only (branch "
                 "lifecycles end at publish_branch/drop_branch)"
             )
+        if older_than is not None:
+            import datetime as _dt
+
+            if isinstance(older_than, _dt.datetime):
+                if older_than.tzinfo is None:
+                    older_than = older_than.replace(tzinfo=_dt.timezone.utc)
+                older_than = int(older_than.timestamp() * 1_000_000)
         cur = self.current_version()
         cutoff = max(0, cur - keep_last + 1)  # keep [cutoff .. cur]
         tagged = set(self.tags().values())  # pinned versions never expire
@@ -2500,18 +2514,31 @@ class LakeTable:
             "bytes_removed": 0,
             "kept_from_version": cutoff,
         }
+        kept_by_age: set[int] = set()
         for name in sorted(os.listdir(self._meta_dir)):
             if not (name.startswith("v") and name.endswith(".json")):
                 continue
-            if int(name[1:-5]) < cutoff and int(name[1:-5]) not in tagged:
-                os.remove(os.path.join(self._meta_dir, name))
-                stats["manifests_removed"] += 1
+            v = int(name[1:-5])
+            if v >= cutoff or v in tagged:
+                continue
+            if older_than is not None:
+                with open(os.path.join(self._meta_dir, name)) as fh:
+                    stamp = json.load(fh).get("props", {}).get(
+                        "committed_at_us", 0
+                    )
+                if stamp >= older_than:
+                    # too young to expire by age — and its files must
+                    # survive the vacuum like any retained snapshot's
+                    kept_by_age.add(v)
+                    continue
+            os.remove(os.path.join(self._meta_dir, name))
+            stats["manifests_removed"] += 1
         if not vacuum:
             return stats
 
         referenced: set[str] = set()
         ref_mfs: set[str] = set()
-        for v in sorted(set(range(cutoff, cur + 1)) | tagged):
+        for v in sorted(set(range(cutoff, cur + 1)) | tagged | kept_by_age):
             path = self._manifest_path(v)
             if os.path.exists(path):
                 mv = self.manifest(v)

@@ -487,3 +487,39 @@ def test_as_of_timestamp_time_travel(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError, match="no retained snapshot"):
         t.version_at(dt.datetime(2000, 1, 1, tzinfo=dt.timezone.utc))
+
+
+def test_expire_snapshots_older_than(spark, tmp_path):
+    """Age-based retention (Iceberg older_than + retain_last shape):
+    older_than restricts removal to snapshots whose commit stamp
+    predates it, keep_last stays the floor, and age-kept versions
+    below the count cutoff keep their files through the vacuum."""
+    import datetime as dt
+
+    from etl_spark.lake.merge import merge_into
+
+    t = make_table(spark, tmp_path)
+    seed(spark, t)  # v1
+    for i in range(3):  # v2..v4
+        src = spark.createDataFrame(pd.DataFrame(dict(
+            conv_id=["c0"], turn_idx=[0], text=[f"u{i}"],
+            ts=[100 + i], lsn=[100 + i], op=["U"],
+        ))).withColumn("turn_idx", F.col("turn_idx").cast("int"))
+        merge_into(t, src, batch_key=f"u{i}")
+    cur = t.current_version()
+    # everything is younger than a cutoff in the past: nothing expires
+    past = dt.datetime.now(dt.timezone.utc) - dt.timedelta(hours=1)
+    s1 = t.expire_snapshots(keep_last=1, older_than=past)
+    assert s1["manifests_removed"] == 0
+    # age-kept old versions still read, files intact
+    assert t.read(version=1).count() > 0
+    for f in t.manifest(1).files:
+        import os as _os
+        assert _os.path.exists(_os.path.join(t.root, f.path))
+    # a future cutoff expires everything below the keep_last floor
+    future = dt.datetime.now(dt.timezone.utc) + dt.timedelta(hours=1)
+    s2 = t.expire_snapshots(keep_last=2, older_than=future)
+    assert s2["manifests_removed"] > 0
+    assert t.read(version=cur - 1).count() > 0
+    with pytest.raises(FileNotFoundError):
+        t.manifest(1)
