@@ -35,6 +35,7 @@ counts stay bounded via compaction (`LakeTable.compact`).
 
 from __future__ import annotations
 
+import datetime as _dtm
 import json
 import os
 import re
@@ -608,7 +609,9 @@ class LakeTable:
             "new_batches string, committed_at_us long",
         )
 
-    def files(self, version: int | str | None = None) -> DataFrame:
+    def files(
+        self, version: int | str | _dtm.datetime | None = None
+    ) -> DataFrame:
         """Data-file inventory (Iceberg `<table>.files` metadata-table
         analog): one row per live data file of a snapshot — path,
         bucket, staging commit, writer schema id, row count, patch
@@ -644,27 +647,34 @@ class LakeTable:
 
     def version_at(self, ts) -> int:
         """Greatest retained version committed at or before `ts`
-        (datetime — naive = UTC — or epoch micros int): the Iceberg
-        as-of-timestamp snapshot resolution. Stamps come from commit
-        wall time (`committed_at_us`), so clock skew across writers
-        can be non-monotone — the scan takes the max VERSION whose
-        stamp <= ts, which degrades toward older snapshots, never a
-        future one. Manifests predating the stamp count as epoch 0."""
-        import datetime as _dt
-
-        if isinstance(ts, _dt.datetime):
-            if ts.tzinfo is None:
-                ts = ts.replace(tzinfo=_dt.timezone.utc)
-            ts = int(ts.timestamp() * 1_000_000)
+        (datetime — naive = UTC, same convention as `_encode_stat` —
+        or epoch micros int): the Iceberg as-of-timestamp snapshot
+        resolution. Stamps come from commit wall time
+        (`committed_at_us`), so clock skew across writers can be
+        non-monotone — the scan takes the max VERSION whose stamp <=
+        ts, which degrades toward older snapshots, never a future
+        one. Manifests that predate the stamp cannot be resolved by
+        time and are skipped (they never satisfy or steal an as-of
+        query); a table with no stamped snapshot at or before `ts`
+        raises."""
+        if isinstance(ts, _dtm.datetime):
+            # integer micros via _encode_stat (float-seconds * 1e6
+            # loses sub-microsecond precision near current epochs)
+            ts = _encode_stat(ts, "timestamp")
         best = None
         for name in sorted(os.listdir(self._meta_dir)):
             if not (name.startswith("v") and name.endswith(".json")):
                 continue
             v = int(name[1:-5])
-            with open(os.path.join(self._meta_dir, name)) as fh:
-                stamp = json.load(fh).get("props", {}).get(
-                    "committed_at_us", 0
-                )
+            try:  # racing expire_snapshots may remove it between
+                with open(os.path.join(self._meta_dir, name)) as fh:
+                    stamp = json.load(fh).get("props", {}).get(
+                        "committed_at_us"
+                    )
+            except FileNotFoundError:
+                continue
+            if stamp is None:
+                continue  # pre-stamp manifest: not time-resolvable
             if stamp <= ts and (best is None or v > best):
                 best = v
         if best is None:
@@ -673,12 +683,12 @@ class LakeTable:
             )
         return best
 
-    def manifest(self, version: int | str | None = None) -> Manifest:
+    def manifest(
+        self, version: int | str | _dtm.datetime | None = None
+    ) -> Manifest:
         """`version` may be an int, None (current), a tag name, or a
         datetime (as-of-timestamp time travel via `version_at`)."""
-        import datetime as _dt
-
-        if isinstance(version, _dt.datetime):
+        if isinstance(version, _dtm.datetime):
             version = self.version_at(version)
         if isinstance(version, str):
             version = self.tag_version(version)
@@ -1029,14 +1039,15 @@ class LakeTable:
         self,
         buckets: list[int] | None = None,
         include_system: bool = False,
-        version: int | str | None = None,
+        version: int | str | _dtm.datetime | None = None,
         where_ranges: dict[str, tuple] | None = None,
         where_in: dict[str, list] | None = None,
     ) -> DataFrame:
         """Scan live rows (max-LSN resolved under merge-on-read,
         tombstones filtered). `buckets` prunes the file list — the
         partition-pruning path MERGE relies on. `version` may be a
-        snapshot number (time travel) or a tag name.
+        snapshot number, a tag name, or a datetime (as-of-timestamp
+        time travel).
 
         `where_ranges` ({column: (lo, hi)}, either bound None) adds
         zone-map data skipping (Iceberg metadata-pruning analog): the
@@ -2497,13 +2508,10 @@ class LakeTable:
                 "expire_snapshots runs on the main view only (branch "
                 "lifecycles end at publish_branch/drop_branch)"
             )
-        if older_than is not None:
-            import datetime as _dt
-
-            if isinstance(older_than, _dt.datetime):
-                if older_than.tzinfo is None:
-                    older_than = older_than.replace(tzinfo=_dt.timezone.utc)
-                older_than = int(older_than.timestamp() * 1_000_000)
+        if older_than is not None and isinstance(older_than, _dtm.datetime):
+            # integer micros, naive = UTC — same conversion and
+            # convention as _encode_stat / version_at
+            older_than = _encode_stat(older_than, "timestamp")
         cur = self.current_version()
         cutoff = max(0, cur - keep_last + 1)  # keep [cutoff .. cur]
         tagged = set(self.tags().values())  # pinned versions never expire
@@ -2524,15 +2532,22 @@ class LakeTable:
             if older_than is not None:
                 with open(os.path.join(self._meta_dir, name)) as fh:
                     stamp = json.load(fh).get("props", {}).get(
-                        "committed_at_us", 0
+                        "committed_at_us"
                     )
-                if stamp >= older_than:
-                    # too young to expire by age — and its files must
+                # a pre-stamp manifest's age is UNKNOWN — never
+                # age-expire it (treating unknown as epoch 0 would
+                # delete an upgraded table's whole history on the
+                # first older_than run)
+                if stamp is None or stamp >= older_than:
+                    # too young (or unknown) — and its files must
                     # survive the vacuum like any retained snapshot's
                     kept_by_age.add(v)
                     continue
             os.remove(os.path.join(self._meta_dir, name))
             stats["manifests_removed"] += 1
+        if kept_by_age:
+            stats["kept_by_age"] = len(kept_by_age)
+            stats["kept_from_version"] = min(cutoff, min(kept_by_age))
         if not vacuum:
             return stats
 

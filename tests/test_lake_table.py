@@ -523,3 +523,41 @@ def test_expire_snapshots_older_than(spark, tmp_path):
     assert t.read(version=cur - 1).count() > 0
     with pytest.raises(FileNotFoundError):
         t.manifest(1)
+
+
+def test_pre_stamp_manifests_never_age_expired(spark, tmp_path):
+    """Upgrade safety: a manifest written before commit stamps existed
+    has UNKNOWN age — older_than must never treat it as infinitely old
+    (epoch 0) and delete an upgraded table's history, and version_at
+    skips it rather than resolving ancient timestamps to it."""
+    import datetime as dt
+    import json as _json
+    import os as _os
+
+    from etl_spark.lake.merge import merge_into
+
+    t = make_table(spark, tmp_path)
+    seed(spark, t)  # v1
+    src = spark.createDataFrame(pd.DataFrame(dict(
+        conv_id=["c0"], turn_idx=[0], text=["x"], ts=[100],
+        lsn=[100], op=["U"],
+    ))).withColumn("turn_idx", F.col("turn_idx").cast("int"))
+    merge_into(t, src, batch_key="b")  # v2
+    # simulate a pre-upgrade manifest: strip v1's stamp
+    p1 = t._manifest_path(1)
+    m1 = _json.load(open(p1))
+    m1["props"].pop("committed_at_us")
+    _os.remove(p1)
+    with open(p1, "w") as fh:
+        _json.dump(m1, fh)
+    s = t.expire_snapshots(
+        keep_last=1, older_than=dt.datetime.now(dt.timezone.utc)
+    )
+    # the stamped, genuinely-old v0 expires; the UNSTAMPED v1 must not
+    assert s.get("kept_by_age", 0) >= 1
+    assert t.read(version=1).count() > 0  # history intact, files too
+    for f in t.manifest(1).files:
+        assert _os.path.exists(_os.path.join(t.root, f.path))
+    # ancient timestamps don't resolve to the unstamped snapshot
+    with pytest.raises(ValueError, match="no retained snapshot"):
+        t.version_at(dt.datetime(2000, 1, 1, tzinfo=dt.timezone.utc))
