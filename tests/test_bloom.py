@@ -493,3 +493,25 @@ def test_where_in_equals_plain_filter_property(
         for r in t.read(where_in={"v": probe}).collect()
     )
     assert got == expect
+
+
+def test_where_in_time_travel_before_annotation(spark, tmp_path):
+    """Composition: probing an OLD snapshot that predates the Bloom
+    build reads manifests without annotations — no pruning, exact
+    results — and a datetime version resolves through the same path."""
+    import datetime as dt
+
+    t = _mk(spark, tmp_path, "mor", name="tt", num_buckets=2)
+    merge_into(t, _src(spark, _vrows(0, 60, 0)), batch_key="b0")
+    v1 = t.current_version()
+    t_mid = dt.datetime.now(dt.timezone.utc)
+    merge_into(t, _src(spark, _vrows(60, 60, 1)), batch_key="b1")
+    t.build_blooms(columns=["v"])
+    probe = [(7 * 37) % 1000]  # user 7's v, present since v1
+    old = t.read(version=v1, where_in={"v": probe})
+    assert {r["user_id"] for r in old.collect()} == {7}
+    via_ts = t.read(version=t_mid, where_in={"v": probe})
+    assert {r["user_id"] for r in via_ts.collect()} == {7}
+    # current snapshot prunes via the annotations and stays exact
+    cur = t.read(where_in={"v": probe})
+    assert {r["user_id"] for r in cur.collect()} == {7}
