@@ -226,14 +226,16 @@ def signed_deltas(changes: DataFrame, validate: bool = True) -> DataFrame:
 
 def read_changes(
     table: LakeTable,
-    from_version: int,
-    to_version: int | None = None,
+    from_version,
+    to_version=None,
     include_pre_images: bool = False,
 ) -> DataFrame:
     """All logical changes committed in versions (from_version,
     to_version] (to_version defaults to the current version), in the
     to_version logical schema plus (_change_type, _commit_version,
-    _change_lsn).
+    _change_lsn). Either bound may be a datetime — resolved to the
+    greatest snapshot committed at or before it (`version_at`, the
+    as-of-timestamp form: "changes since yesterday 02:00").
 
     A window may span schema evolution: each commit's changes are
     emitted in that commit's own schema, then aligned onto the
@@ -243,6 +245,12 @@ def read_changes(
     default — or NULL — for columns that did not yet exist
     (`absent_column_expr`). The same field-ID mapping the table's
     read path uses for old data files (`_read_files`)."""
+    import datetime as _dt
+
+    if isinstance(from_version, _dt.datetime):
+        from_version = table.version_at(from_version)
+    if isinstance(to_version, _dt.datetime):
+        to_version = table.version_at(to_version)
     to_version = (
         to_version if to_version is not None else table.current_version()
     )

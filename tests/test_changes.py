@@ -206,3 +206,35 @@ def test_maintenance_commits_skip_the_feed_diff(spark, tmp_path):
         feed_after.sort_values(["_commit_version", "conv_id", "turn_idx",
                                 "_change_type"]).reset_index(drop=True),
     )
+
+
+def test_read_changes_datetime_bounds(spark, tmp_path):
+    """Either feed bound may be a datetime (as-of resolution via
+    version_at): 'changes since <wall time>' equals the same window
+    by version number."""
+    import datetime as dt
+    import time
+
+    t = _mk(spark, tmp_path)
+    merge_into(
+        t, _src(spark, [dict(conv_id="a", turn_idx=0, text="a0",
+                             lsn=1, op="U")]), batch_key="b0",
+    )
+    v1 = t.current_version()
+    t_mid = dt.datetime.now(dt.timezone.utc)
+    time.sleep(0.01)
+    merge_into(
+        t, _src(spark, [dict(conv_id="a", turn_idx=0, text="a1",
+                             lsn=2, op="U"),
+                        dict(conv_id="b", turn_idx=0, text="b0",
+                             lsn=3, op="U")]), batch_key="b1",
+    )
+    by_version = sorted(
+        (r["conv_id"], r["_change_type"])
+        for r in read_changes(t, v1).collect()
+    )
+    by_time = sorted(
+        (r["conv_id"], r["_change_type"])
+        for r in read_changes(t, t_mid).collect()
+    )
+    assert by_time == by_version and len(by_time) > 0
