@@ -39,7 +39,18 @@ The inherent serial residue: a single conversation's event chain is
 sequential by definition, so one Zipf-dominant conversation (alpha
 >~2) serializes its own group's simulation — the same skew the ENGINE
 handles with the write-skew guard; the generator inherits it by
-construction, not by accident.
+construction, not by accident. The residue is a MEMORY bound as well
+as a time bound: cogroup materializes each group's full position set
+as one pandas frame in the simulating task, so a conversation holding
+fraction f of n_events needs O(f * n_events) rows resident in that
+one executor (~40 B/row for the three int64 columns + op strings —
+f=0.5 of 10^10 events ≈ 200 GB, past any executor). At that scale,
+chunk the dominant group: the live-set state dicts are small (O(live
+turns)), so the position arrays can stream through the simulation
+loop in bounded slices; only the per-group pandas materialization
+forces the all-at-once footprint today. Documented as the known wall;
+alpha <= 1.5 (the shipped configs) keeps the largest group under
+~1.5% of n and the bound irrelevant.
 
 Mock-producer surface (reference analog
 /root/reference/tests/e2e/mock_data_producer.py:11-42), distributed.

@@ -126,7 +126,10 @@ def _encode_stat(v, type_name: str):
         return None
     if type_name == "timestamp":
         if isinstance(v, str):
-            v = _dt.datetime.fromisoformat(v)
+            try:
+                v = _dt.datetime.fromisoformat(v)
+            except ValueError:  # unparseable bound → unprunable
+                return None
         if not isinstance(v, _dt.datetime):
             return None
         if v.tzinfo is None:
@@ -139,7 +142,12 @@ def _encode_stat(v, type_name: str):
     if type_name == "date":
         # days since epoch (parquet date32's own physical encoding)
         if isinstance(v, str):
-            v = _dt.date.fromisoformat(v)
+            try:  # a datetime-style string ('…T10:00') is not a
+                # date bound — return None per the stated contract
+                # (file stays unprunable; residual filter stays exact)
+                v = _dt.date.fromisoformat(v)
+            except ValueError:
+                return None
         if isinstance(v, _dt.datetime):
             v = v.date()
         if not isinstance(v, _dt.date):
@@ -666,12 +674,15 @@ class LakeTable:
             if not (name.startswith("v") and name.endswith(".json")):
                 continue
             v = int(name[1:-5])
-            try:  # racing expire_snapshots may remove it between
+            try:  # racing expire_snapshots may remove it between;
+                # a torn/empty file cannot occur under the tmp+link
+                # publish but is skipped defensively (an in-flight
+                # newest manifest is never the as-of answer anyway)
                 with open(os.path.join(self._meta_dir, name)) as fh:
                     stamp = json.load(fh).get("props", {}).get(
                         "committed_at_us"
                     )
-            except FileNotFoundError:
+            except (FileNotFoundError, ValueError):
                 continue
             if stamp is None:
                 continue  # pre-stamp manifest: not time-resolvable
@@ -730,12 +741,25 @@ class LakeTable:
         m.props = {**m.props, "committed_at_us": _time.time_ns() // 1_000}
         path = self._manifest_path(m.version)
         payload = json.dumps(m.to_json(), indent=1).encode()
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        # Publish atomically: write + fsync a uniquely-named tmp file,
+        # then hard-link it to the final path. link(2) fails with
+        # EEXIST when the version already exists — the same
+        # first-writer-wins conflict detection as the previous
+        # O_CREAT|O_EXCL direct write — but readers can never observe
+        # an empty/partially-written snapshot (a version_at/
+        # expire_snapshots scan racing the old in-place write could
+        # hit JSONDecodeError).
+        tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+        fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         try:
             os.write(fd, payload)
             os.fsync(fd)
         finally:
             os.close(fd)
+        try:
+            os.link(tmp, path)  # raises FileExistsError on commit race
+        finally:
+            os.unlink(tmp)
 
     # ------------------------------------------------------------ create
     @classmethod
@@ -2530,10 +2554,13 @@ class LakeTable:
             if v >= cutoff or v in tagged:
                 continue
             if older_than is not None:
-                with open(os.path.join(self._meta_dir, name)) as fh:
-                    stamp = json.load(fh).get("props", {}).get(
-                        "committed_at_us"
-                    )
+                try:  # torn/vanished file: age unknown, keep it
+                    with open(os.path.join(self._meta_dir, name)) as fh:
+                        stamp = json.load(fh).get("props", {}).get(
+                            "committed_at_us"
+                        )
+                except (FileNotFoundError, ValueError):
+                    stamp = None
                 # a pre-stamp manifest's age is UNKNOWN — never
                 # age-expire it (treating unknown as epoch 0 would
                 # delete an upgraded table's whole history on the
