@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "sim_cosine_topk",
     "sim_lsh_ann_topk",
     "sim_ivf_topk",
+    "sim_ivf_trained",
     "embedding_neardup",
     "mm_decode_features",
     "mm_decode_real",

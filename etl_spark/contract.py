@@ -1524,6 +1524,86 @@ WHERE rank <= 3
 """
 
 
+def q_sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with TRAINED coarse centroids: distributed Lloyd's
+    k-means (seeded md5-order init, 2 fixed iterations, exact
+    sequential-fold centroid update for cross-engine bit parity) then
+    the identical `ivf_topk` search path — closes `ivf_assign`'s
+    "production would k-means" gap (VERDICT r4 #3)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = SIM.kmeans_train(
+        emb, k=8, n_iters=2, dim=64, exact_fold=True
+    ).select(
+        F.col("cell").alias("vec_id"), F.col("centroid").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.ivf_topk(emb, queries, cents, k=3, dim=64)
+
+
+def _sql_kmeans_iter(i: int, prev: str) -> str:
+    """One unrolled Lloyd iteration as DuckDB CTEs, the exact mirror
+    of `kmeans_train(exact_fold=True)`: argmax assignment with the
+    (s DESC, cell DESC) struct-max tie-break, then the centroid mean
+    as a SEQUENTIAL id-ordered fold (`list_reduce` over
+    `list(v ORDER BY vec_id)`) so float addition order matches the
+    Spark side's sorted `aggregate` bit-for-bit; empty cells keep the
+    previous centroid via the same left-join + coalesce."""
+    return f"""
+s{i} AS (SELECT e.vec_id, e.v, c.cell,
+            list_dot_product(e.v, c.cv)
+              - 0.5 * list_dot_product(c.cv, c.cv) AS s
+         FROM e CROSS JOIN {prev} c),
+a{i} AS (SELECT vec_id, v, cell
+         FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY s DESC, cell DESC) AS rn
+               FROM s{i})
+         WHERE rn = 1),
+u{i} AS (SELECT cell,
+            list_transform(
+              list_reduce(list(v ORDER BY vec_id),
+                          (a, b) -> list_transform(range(1, 65),
+                                                   j -> a[j] + b[j])),
+              x -> x / count(*)) AS nv
+         FROM a{i} GROUP BY cell),
+c{i + 1} AS (SELECT p.cell, coalesce(u.nv, p.cv) AS cv
+         FROM {prev} p LEFT JOIN u{i} u USING (cell)),"""
+
+
+SQL_SIM_IVF_TRAINED = (
+    _SQL_COS
+    + """
+seeds AS (SELECT cell, cv
+          FROM (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                          vec_id) - 1 AS cell,
+                       v AS cv
+                FROM e)
+          WHERE cell < 8),"""
+    + _sql_kmeans_iter(0, "seeds")
+    + _sql_kmeans_iter(1, "c1")
+    + """
+scored AS (SELECT e.vec_id, e.v, c.cell,
+                  list_dot_product(e.v, c.cv)
+                    - 0.5 * list_dot_product(c.cv, c.cv) AS s
+           FROM e CROSS JOIN c2 c),
+assign AS (SELECT vec_id, v, cell
+           FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY s DESC, cell DESC) AS rn
+                 FROM scored)
+           WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv, cell FROM assign WHERE vec_id < 10),
+s AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+             list_dot_product(q.qv, a.v)
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(a.v, a.v))) AS score
+      FROM q JOIN assign a ON a.cell = q.cell AND a.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id ASC) AS rank
+      FROM s)
+WHERE rank <= 3
+"""
+)
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed near-dup pairs (the scale-safe default path: no
     crossJoin in the plan; oracle mirrors the same-bucket restriction).
@@ -2145,6 +2225,7 @@ QUERIES = {
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_lsh_ann_topk": q_sim_lsh_ann_topk,
     "sim_ivf_topk": q_sim_ivf_topk,
+    "sim_ivf_trained": q_sim_ivf_trained,
     "embedding_neardup": q_embedding_neardup,
     "mm_decode_features": q_mm_decode_features,
     "mm_decode_real": q_mm_decode_real,
@@ -2201,6 +2282,7 @@ ORACLES = {
     "sim_cosine_topk": SQL_SIM_COSINE_TOPK,
     "sim_lsh_ann_topk": SQL_SIM_LSH_ANN,
     "sim_ivf_topk": SQL_SIM_IVF_TOPK,
+    "sim_ivf_trained": SQL_SIM_IVF_TRAINED,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "mm_binary_metadata": SQL_MM_BINARY,
     "mm_decode_features": SQL_MM_DECODE_FEATURES,

@@ -21,6 +21,8 @@ this is training-pipeline surface (SURVEY.md scope extension).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
@@ -200,6 +202,189 @@ def ivf_assign(
             F.max_by(F.col("_cell"), ordk).alias("cell"),
             F.max_by(F.col("_v"), ordk).alias("_v"),
         )
+    )
+
+
+def _kmeans_assign(
+    v: DataFrame, cents: list[list[float]], dim: int | None
+) -> DataFrame:
+    """Nearest-centroid assignment as a pure projection over literal
+    centroid arrays: array_max over (score, cell) structs — the same
+    score kernel and (s DESC, cell DESC) struct-max tie-break as
+    `ivf_assign`, with zero join operators. Input `v` has
+    (id, _v double[]); adds `cell`.
+
+    Built as ONE SQL string through a single F.expr call: assembling
+    k*dim terms through Column operators costs ~2*k*dim py4j round
+    trips (~5 s/iteration at k=8, dim=64 — measured; it dominated
+    training), while the JVM parses the equivalent string in
+    milliseconds. The constant 0.5*c.c halves are pre-summed in
+    Python — Python floats are IEEE doubles and the loop runs the
+    same left-to-right order Catalyst's constant folding would, so
+    scores are bit-identical to the in-engine formulation (and to the
+    SQL oracle's list_dot_product). Literals round-trip through
+    CAST('<repr>' AS DOUBLE): shortest-repr parses back to the exact
+    double, and a plain decimal literal would be DECIMAL-typed in
+    Spark SQL."""
+    if not dim:
+        raise ValueError("literal assignment needs a known dim")
+
+    def dlit(x: float) -> str:
+        if not math.isfinite(x):
+            raise ValueError(f"non-finite centroid coordinate {x!r}")
+        return f"CAST('{x!r}' AS DOUBLE)"
+
+    structs = []
+    for j, c in enumerate(cents):
+        # " + " joins parse left-associative — the same sequential
+        # fold order as the unrolled `dot`
+        terms = " + ".join(
+            f"(element_at(_v, {i + 1}) * {dlit(c[i])})" for i in range(dim)
+        )
+        half_cc = c[0] * c[0]
+        for x in c[1:]:
+            half_cc += x * x
+        half_cc *= 0.5
+        structs.append(
+            f"struct(({terms}) - {dlit(half_cc)} AS s,"
+            f" CAST({j} AS BIGINT) AS cell)"
+        )
+    return v.withColumn(
+        "cell", F.expr(f"array_max(array({','.join(structs)})).cell")
+    )
+
+
+def _kmeans_update(assign: DataFrame, dim: int | None, exact_fold: bool) -> DataFrame:
+    """One Lloyd centroid update over an `ivf_assign` result — the
+    per-iteration aggregation `kmeans_train` runs (factored out so
+    scripts/explain_plans.py can audit the exact per-round plan:
+    one exchange, map-side partial agg on the scale kernel)."""
+    if exact_fold:
+        folded = assign.groupBy("cell").agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("id"), F.col("_v")))
+            ).alias("_arr"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        zero = (
+            F.array(*[F.lit(0.0)] * dim)
+            if dim
+            else F.transform(
+                F.element_at(F.col("_arr"), 1)["_v"], lambda x: x * 0.0
+            )
+        )
+        return folded.select(
+            "cell",
+            F.transform(
+                F.aggregate(
+                    F.col("_arr"),
+                    zero,
+                    lambda acc, x: F.zip_with(
+                        acc, x["_v"], lambda a, b: a + b
+                    ),
+                ),
+                lambda s: s / F.col("_n"),
+            ).alias("_nv"),
+        )
+    if not dim:
+        raise ValueError("avg kernel needs a known dim")
+    means = [
+        F.avg(F.element_at(F.col("_v"), i + 1)).alias(f"_m{i}")
+        for i in range(dim)
+    ]
+    return (
+        assign.groupBy("cell")
+        .agg(*means)
+        .select(
+            "cell",
+            F.array(*[F.col(f"_m{i}") for i in range(dim)]).alias("_nv"),
+        )
+    )
+
+
+def kmeans_train(
+    df: DataFrame,
+    k: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    exact_fold: bool = False,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding column — the
+    trainer `ivf_assign` said "production would k-means" about; the
+    trained centroids feed the identical assignment/search path.
+
+    Shape (the part that must survive 10^9 vectors):
+    - init: the k rows with the smallest md5(id) — a seeded
+      deterministic pseudo-random sample (the repo's cross-engine
+      hash; same convention as the md5-mode SimHash oracle), top-k
+      selected distributedly, cells numbered 0..k-1 in hash order;
+    - each iteration: centroids are k*dim driver-side doubles
+      (bounded metadata — the loop never collects vectors), so the
+      nearest-centroid argmax is a PURE PROJECTION over literal
+      centroid arrays (array_max over (score, cell) structs,
+      whole-stage codegen — no join operator at all), and the
+      centroid update is the round's ONLY exchange, carrying k*dim
+      map-side partial sums. Literal-expression assignment is the
+      right trade for coarse-IVF k (expression size O(k*dim);
+      ~10^3 cells x 10^2 dims compiles fine) — for k beyond that,
+      `ivf_assign`'s broadcast-join + max_by kernel is the fallback
+      shape with one extra corpus-wide exchange;
+    - FIXED iteration count (no convergence test → no extra action
+      per round, deterministic output).
+
+    Update kernels:
+    - exact_fold=False (default, the scale path): per-coordinate
+      partial-sum `avg` — map-side combine, O(k*dim) reduce state.
+      Float addition order follows partition order, so results are
+      engine-reproducible only statistically (any fixed input split
+      gives identical output; a different split can flip last-ulp
+      bits).
+    - exact_fold=True (verification mode): per cell, members sort by
+      id and fold sequentially (collect_list + sort_array +
+      aggregate) — bit-identical to a sequential oracle
+      (DuckDB `list_reduce(list(v ORDER BY id), ...)`), at the cost
+      of materializing each cell's members in one row
+      (O(cell_size*dim) — contract/sf scale only, NOT the 10^9 path).
+
+    Empty cells keep their previous centroid (left-join + coalesce),
+    mirrored in the oracle. Returns (cell int, centroid
+    array<double>).
+
+    Reference has no vector ops; training-pipeline surface
+    (SURVEY.md scope extension; VERDICT r4 next-round #3).
+    """
+    spark = df.sparkSession
+    ids = df.select(
+        F.col(id_col).alias("_sid"),
+        as_double(F.col(vec_col)).alias("_sv"),
+        F.md5(F.col(id_col).cast("string")).alias("_h"),
+    )
+    # top-k by hash: Spark's sort+limit is a distributed TakeOrdered —
+    # no full sort materializes; k rows come back hash-ordered and
+    # become cells 0..k-1. Collecting k*dim doubles per round is the
+    # loop's ONLY driver transfer (bounded metadata, never corpus
+    # rows), and each collect truncates the iteration's lineage (the
+    # dedup-components lesson: plan strings compound in driver loops).
+    cents = [
+        [float(x) for x in r["_sv"]]
+        for r in ids.orderBy("_h", "_sid").limit(k).collect()
+    ]
+    v = df.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("_v")
+    )
+    for _ in range(n_iters):
+        assign = _kmeans_assign(v, cents, dim)
+        upd = {
+            int(r["cell"]): [float(x) for x in r["_nv"]]
+            for r in _kmeans_update(assign, dim, exact_fold).collect()
+        }
+        cents = [upd.get(j, cents[j]) for j in range(k)]  # empty cell
+        # keeps its previous centroid, mirrored in the oracle
+    return spark.createDataFrame(
+        [(j, c) for j, c in enumerate(cents)],
+        "cell long, centroid array<double>",
     )
 
 

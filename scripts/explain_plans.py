@@ -113,6 +113,28 @@ def main() -> None:
     checks.append(("ivf centroids broadcast", "BroadcastNestedLoopJoin" in p))
     checks.append(("ivf no shuffle cartesian", "CartesianProduct" not in p))
 
+    # k-means training round (scale kernel): assignment is a pure
+    # projection over literal centroids (no join operator at all),
+    # and the centroid update is the round's ONLY exchange, carrying
+    # map-side k*dim partial sums — the shape that holds at 10^9
+    # vectors x coarse-IVF k
+    from etl_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    vv = emb.select(
+        F.col("vec_id").alias("id"),
+        SIM.as_double(F.col("embedding")).alias("_v"),
+    )
+    cents0 = [[float(j)] * 64 for j in range(8)]
+    one_round = SIM._kmeans_update(
+        SIM._kmeans_assign(vv, cents0, dim=64), dim=64, exact_fold=False
+    )
+    p = plan_of(one_round)
+    checks.append(("kmeans round has no join operator", "Join" not in p))
+    checks.append(("kmeans round single exchange",
+                   p.count("hashpartitioning") == 1))
+    checks.append(("kmeans round map-side partial agg", "partial_avg" in p))
+
     # corpus curation: the per-fingerprint keeper table is broadcast
     # (small dim vs the per-doc side) and nothing degenerates into a
     # cartesian; the components iteration inside has its own eager

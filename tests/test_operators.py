@@ -618,3 +618,92 @@ def test_image_histogram_matches_pixel_arithmetic(spark, docs):
             b = (mid * 31 + i) % 256 // 16
             want[(mid, b)] = want.get((mid, b), 0) + 1
     assert got == want
+
+
+def _kmeans_numpy_reference(vecs, k, n_iters):
+    """Sequential Lloyd's mirroring kmeans_train exactly: md5-order
+    seeded init, (score, cell) lexicographic argmax, id-ordered
+    sequential-fold means, empty cells keep their centroid."""
+    import hashlib as _hl
+
+    n = len(vecs)
+    order = sorted(range(n), key=lambda i: (_hl.md5(str(i).encode()).hexdigest(), i))
+    cents = [vecs[i].astype("float64").copy() for i in order[:k]]
+    for _ in range(n_iters):
+        assign = []
+        for i in range(n):
+            v = vecs[i].astype("float64")
+            best = max(
+                ((float(v @ c) - 0.5 * float(c @ c), j) for j, c in enumerate(cents)),
+            )
+            assign.append(best[1])
+        new = []
+        for j in range(k):
+            members = [i for i in range(n) if assign[i] == j]
+            if not members:
+                new.append(cents[j])
+                continue
+            acc = np.zeros(vecs.shape[1], dtype="float64")
+            for i in sorted(members):  # sequential id-ordered fold
+                acc = acc + vecs[i].astype("float64")
+            new.append(acc / len(members))
+        cents = new
+    return cents
+
+
+def test_kmeans_exact_fold_matches_sequential_reference(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(60, 8)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id: long, embedding: array<float>",
+    )
+    got = {
+        r["cell"]: r["centroid"]
+        for r in SIM.kmeans_train(
+            df, k=4, n_iters=3, dim=8, exact_fold=True
+        ).collect()
+    }
+    want = _kmeans_numpy_reference(vecs, k=4, n_iters=3)
+    assert sorted(got) == list(range(4))
+    for j in range(4):
+        # bit-identical: the fold order is pinned on both sides
+        assert got[j] == [float(x) for x in want[j]], j
+
+
+def test_kmeans_avg_kernel_close_and_shapes(spark):
+    rng = np.random.default_rng(8)
+    vecs = rng.normal(size=(80, 8)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(80)],
+        "vec_id: long, embedding: array<float>",
+    )
+    exact = {
+        r["cell"]: np.array(r["centroid"])
+        for r in SIM.kmeans_train(df, k=4, n_iters=2, dim=8, exact_fold=True).collect()
+    }
+    avg = {
+        r["cell"]: np.array(r["centroid"])
+        for r in SIM.kmeans_train(df, k=4, n_iters=2, dim=8, exact_fold=False).collect()
+    }
+    assert sorted(avg) == sorted(exact) == list(range(4))
+    for j in range(4):
+        # the scale kernel differs only by float summation order
+        assert np.allclose(avg[j], exact[j], rtol=1e-9, atol=1e-12), j
+
+
+def test_kmeans_trained_ivf_search_runs(spark):
+    rng = np.random.default_rng(9)
+    vecs = rng.normal(size=(50, 8)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id: long, embedding: array<float>",
+    )
+    cents = SIM.kmeans_train(df, k=4, n_iters=2, dim=8).select(
+        F.col("cell").alias("vec_id"), F.col("centroid").alias("embedding")
+    )
+    out = SIM.ivf_topk(df, df.filter(F.col("vec_id") < 3), cents, k=2, dim=8)
+    rows = out.collect()
+    assert {r["query_id"] for r in rows} <= {0, 1, 2}
+    assert all(1 <= r["rank"] <= 2 for r in rows)
+    assert all(r["neighbor_id"] != r["query_id"] for r in rows)
