@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "dedup_exact_docs",
     "dedup_ngram_jaccard",
     "dedup_components",
+    "contamination_overlap",
     "dedup_minhash_lsh",
     "sim_cosine_topk",
     "sim_lsh_ann_topk",

@@ -1135,7 +1135,7 @@ GROUP BY 1
 
 # Shared CTE prefix for the shingle-based oracles (3-gram shingles over
 # normalized tokens, distinct per doc, ultra-common shingles dropped).
-_SQL_SHINGLES = """
+_SQL_SH0 = """
 WITH toks AS (
   SELECT doc_id,
          regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
@@ -1147,6 +1147,9 @@ sh0 AS (
                                          i -> array_to_string(list_slice(t, i, i + 2), ' '))
                 END) AS shingle
   FROM toks),
+"""
+
+_SQL_SHINGLES = _SQL_SH0 + """
 ok AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 1000),
 sh AS (SELECT sh0.* FROM sh0 JOIN ok USING (shingle)),
 stats AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id)
@@ -1307,6 +1310,55 @@ def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.connected_components(pairs, algorithm="star").select(
         F.col("id").alias("doc_id"), "component_id"
     )
+
+
+def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination gate: eval split = doc_id % 10 == 0,
+    train = the rest; per eval doc the best-overlapping training doc
+    by shared 3-gram shingles via the capped shared-shingle join (no
+    all-pairs), all-integer argmax ordering for cross-engine
+    determinism; clean eval docs stay in the output with shared=0."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.contamination_overlap(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        "doc_id",
+        "text",
+        n=3,
+    )
+
+
+SQL_CONTAMINATION = _SQL_SH0 + """
+tr AS (SELECT * FROM sh0 WHERE id % 10 <> 0),
+ev AS (SELECT * FROM sh0 WHERE id % 10 = 0),
+bad AS (SELECT shingle FROM tr GROUP BY shingle HAVING count(*) > 1000),
+tr2 AS (SELECT * FROM tr WHERE shingle NOT IN (SELECT shingle FROM bad)),
+ev2 AS (SELECT * FROM ev WHERE shingle NOT IN (SELECT shingle FROM bad)),
+nt AS (SELECT id, count(*) AS n_train FROM tr2 GROUP BY id),
+ne AS (SELECT id, count(*) AS n_eval FROM ev2 GROUP BY id),
+shared AS (SELECT e.id AS eval_id, t.id AS train_id, count(*) AS shared
+           FROM ev2 e JOIN tr2 t USING (shingle) GROUP BY 1, 2),
+best AS (SELECT * FROM (
+           SELECT s.eval_id, s.train_id, s.shared, nt.n_train,
+                  row_number() OVER (PARTITION BY s.eval_id
+                                     ORDER BY s.shared DESC, nt.n_train ASC,
+                                              s.train_id ASC) AS rn
+           FROM shared s JOIN nt ON nt.id = s.train_id)
+         WHERE rn = 1)
+SELECT d.doc_id AS eval_id, b.train_id,
+       coalesce(b.shared, 0) AS shared,
+       coalesce(ne.n_eval, 0) AS n_eval,
+       b.n_train,
+       CASE WHEN ne.n_eval IS NULL OR ne.n_eval = 0 OR b.shared IS NULL
+            THEN 0.0
+            ELSE round(b.shared / ne.n_eval, 4) END AS containment_r4,
+       CASE WHEN b.n_train IS NULL THEN 0.0
+            ELSE round(b.shared / (ne.n_eval + b.n_train - b.shared), 4)
+            END AS jaccard_r4
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+LEFT JOIN ne ON ne.id = d.doc_id
+LEFT JOIN best b ON b.eval_id = d.doc_id
+"""
 
 
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2221,6 +2273,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_components": q_dedup_components,
+    "contamination_overlap": q_contamination_overlap,
     "corpus_curation": q_corpus_curation,
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_lsh_ann_topk": q_sim_lsh_ann_topk,
@@ -2278,6 +2331,7 @@ ORACLES = {
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
     "dedup_components": SQL_DEDUP_COMPONENTS,
     "dedup_components_star": SQL_DEDUP_COMPONENTS,
+    "contamination_overlap": SQL_CONTAMINATION,
     "corpus_curation": SQL_CORPUS_CURATION,
     "sim_cosine_topk": SQL_SIM_COSINE_TOPK,
     "sim_lsh_ann_topk": SQL_SIM_LSH_ANN,

@@ -220,6 +220,99 @@ def ngram_jaccard_pairs(
     )
 
 
+# ------------------------------------------------- contamination check
+def contamination_overlap(
+    train: DataFrame,
+    eval_: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_shingle_freq: int = 1000,
+) -> DataFrame:
+    """Train/eval contamination: for every eval document, its best-
+    overlapping training document by shared token-n-gram shingles —
+    the check a training pipeline runs before trusting a benchmark
+    number (VERDICT r4 next-round #5).
+
+    Candidates come from the shared-shingle equi-join (documents only
+    meet via a shared shingle — never all-pairs), with the frequency
+    cap computed on the TRAINING corpus and applied to BOTH sides:
+    a shingle appearing in > max_shingle_freq training docs is
+    boilerplate, ignored for overlap counts AND for the eval doc's
+    denominator (so containment stays a fraction of the eval doc's
+    *distinctive* content), and — the scale reason — the cap bounds
+    the join fan-out exactly as in `ngram_jaccard_pairs`.
+
+    Best-match selection is ALL-INTEGER ordered (shared DESC, n_train
+    ASC, train id ASC): containment = shared/n_eval is monotone in
+    `shared` for a fixed eval doc, and for tied shared counts the
+    smaller training doc has the higher Jaccard — so no float enters
+    the argmax and the result is bit-reproducible cross-engine.
+
+    Eval documents with NO overlapping training doc stay in the
+    output (left join) with shared = 0 and a NULL train id: at a
+    decontamination gate, "clean" must be an answer, not an absent
+    row. Returns (eval_id, train_id, shared, n_eval, n_train,
+    containment_r4, jaccard_r4).
+    """
+    sh_t = shingles(train, id_col, text_col, n)
+    sh_e = shingles(eval_, id_col, text_col, n)
+    # ANTI-join against the over-cap set (not semi-join to the under-
+    # cap vocabulary): an eval shingle absent from the training corpus
+    # must still count in the eval doc's denominator, or containment
+    # degenerates to 1.0 whenever any overlap exists
+    bad = (
+        sh_t.groupBy("shingle")
+        .agg(F.count("*").alias("f"))
+        .filter(F.col("f") > max_shingle_freq)
+        .select("shingle")
+    )
+    sh_t = sh_t.join(bad, "shingle", "left_anti")
+    sh_e = sh_e.join(bad, "shingle", "left_anti")
+    n_t = sh_t.groupBy("id").agg(F.count("*").alias("n_train"))
+    n_e = sh_e.groupBy("id").agg(F.count("*").alias("n_eval"))
+    shared = (
+        sh_e.select(F.col("id").alias("eval_id"), "shingle")
+        .join(sh_t.select(F.col("id").alias("train_id"), "shingle"), "shingle")
+        .groupBy("eval_id", "train_id")
+        .agg(F.count("*").alias("shared"))
+    )
+    w = Window.partitionBy("eval_id").orderBy(
+        F.col("shared").desc(), F.col("n_train").asc(), F.col("train_id").asc()
+    )
+    best = (
+        shared.join(n_t, shared["train_id"] == n_t["id"])
+        .drop("id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    out = (
+        eval_.select(F.col(id_col).alias("eval_id"))
+        .join(n_e.withColumnRenamed("id", "eval_id"), "eval_id", "left")
+        .join(best, "eval_id", "left")
+    )
+    zero = F.coalesce(F.col("shared"), F.lit(0))
+    denom_c = F.col("n_eval")
+    denom_j = F.col("n_eval") + F.col("n_train") - zero
+    return out.select(
+        "eval_id",
+        "train_id",
+        zero.alias("shared"),
+        F.coalesce(F.col("n_eval"), F.lit(0)).alias("n_eval"),
+        "n_train",
+        F.when(
+            denom_c.isNull() | (denom_c == 0) | F.col("shared").isNull(),
+            F.lit(0.0),
+        )
+        .otherwise(F.round(zero / denom_c, 4))
+        .alias("containment_r4"),
+        F.when(F.col("n_train").isNull(), F.lit(0.0))
+        .otherwise(F.round(zero / denom_j, 4))
+        .alias("jaccard_r4"),
+    )
+
+
 # ------------------------------------------------------------- minhash
 def minhash_signatures(
     sh: DataFrame, num_hashes: int = 8

@@ -707,3 +707,60 @@ def test_kmeans_trained_ivf_search_runs(spark):
     assert {r["query_id"] for r in rows} <= {0, 1, 2}
     assert all(1 <= r["rank"] <= 2 for r in rows)
     assert all(r["neighbor_id"] != r["query_id"] for r in rows)
+
+
+def test_contamination_overlap_detects_planted_leak(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely unrelated training text about spark engines"),
+            (3, "another unrelated training document mentioning nothing shared"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_ = spark.createDataFrame(
+        [
+            # verbatim copy of train doc 1 -> containment 1.0
+            (10, "the quick brown fox jumps over the lazy dog tonight"),
+            # partial overlap with doc 1 (a shared 5-token span)
+            (20, "something else then the quick brown fox jumps away"),
+            # clean
+            (30, "zero lexical overlap with anything whatsoever here truly"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["eval_id"]: r
+        for r in DD.contamination_overlap(
+            train, eval_, "doc_id", "text", n=3
+        ).collect()
+    }
+    assert out[10]["train_id"] == 1
+    assert out[10]["containment_r4"] == 1.0
+    assert out[10]["jaccard_r4"] == 1.0
+    assert out[20]["train_id"] == 1
+    assert 0 < out[20]["containment_r4"] < 1.0
+    # clean doc stays in the output with an explicit zero
+    assert out[30]["train_id"] is None
+    assert out[30]["shared"] == 0
+    assert out[30]["containment_r4"] == 0.0
+
+
+def test_contamination_cap_ignores_boilerplate(spark):
+    # a shingle present in every training doc is boilerplate: with the
+    # cap at 2 it must not create candidates or count toward overlap
+    boiler = "standard header line"
+    train = spark.createDataFrame(
+        [(i, f"{boiler} body text number {i} filler") for i in range(1, 4)],
+        "doc_id long, text string",
+    )
+    eval_ = spark.createDataFrame(
+        [(10, boiler)], "doc_id long, text string"
+    )
+    out = DD.contamination_overlap(
+        train, eval_, "doc_id", "text", n=3, max_shingle_freq=2
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["train_id"] is None and r["shared"] == 0
+    assert r["n_eval"] == 0 and r["containment_r4"] == 0.0
