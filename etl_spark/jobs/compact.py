@@ -29,6 +29,51 @@ import argparse
 import json
 
 
+def plan_auto(
+    table,
+    max_files_per_bucket: int = 4,
+    small_file_rows: int = 0,
+    include_patches: bool = True,
+) -> dict[int, list[str]]:
+    """Maintenance POLICY: select compaction targets from the
+    snapshot's file inventory (the same metadata `files()` exposes —
+    a driver-side manifest walk, no data scan), so that at 10^5-file
+    scale maintenance is a policy loop over table state rather than
+    an operator someone has to aim (VERDICT r4 next-round #6).
+
+    A bucket qualifies when any of:
+    - ``file_count``: more live files than `max_files_per_bucket`
+      (the read-amplification bound `compact()` itself enforces);
+    - ``patches``: any file carries the MoR patch bit — collapsing
+      patch chains restores the fold-free scan path and upgrades the
+      bucket to per-file prune granularity;
+    - ``small_files``: >= 2 files under `small_file_rows` rows each
+      (0 disables) — many tiny files cost a task + a footer each at
+      scan time regardless of the count bound.
+
+    Returns {bucket: [reasons...]} — empty dict = nothing to do, and
+    running compaction anyway would be a no-op by construction, so
+    the caller skips the write path entirely (idempotence)."""
+    m = table.manifest()
+    per: dict[int, list] = {}
+    for f in m.files:
+        per.setdefault(f.bucket, []).append(f)
+    plan: dict[int, list[str]] = {}
+    for b, fs in sorted(per.items()):
+        reasons = []
+        if len(fs) > max_files_per_bucket:
+            reasons.append("file_count")
+        if include_patches and any(f.has_patches for f in fs):
+            reasons.append("patches")
+        if small_file_rows:
+            small = [f for f in fs if 0 <= f.rows < small_file_rows]
+            if len(small) >= 2:
+                reasons.append("small_files")
+        if reasons:
+            plan[b] = reasons
+    return plan
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--table-root", required=True)
@@ -58,6 +103,18 @@ def main() -> None:
         "unreferenced data files on disk",
     )
     p.add_argument(
+        "--auto", action="store_true",
+        help="policy mode: select target buckets from the file "
+        "inventory (file count over the bound, MoR patch bit, small "
+        "files) and skip the write path entirely when nothing "
+        "qualifies",
+    )
+    p.add_argument(
+        "--small-file-rows", type=int, default=0,
+        help="with --auto: buckets holding >= 2 files under this row "
+        "count qualify for compaction (0 = criterion off)",
+    )
+    p.add_argument(
         "--build-blooms", nargs="*", metavar="COLUMN", default=None,
         help="after compacting, (re)build Bloom sidecars for files "
         "that lack them: no COLUMN = the bucket key (lookup path); "
@@ -77,10 +134,28 @@ def main() -> None:
     table = LakeTable(spark, args.table_root)
     before = table.manifest()
     files_before = len(before.files)
-    version = table.compact(
-        args.max_files_per_bucket,
-        tombstone_grace_lsns=args.tombstone_grace_lsns,
-    )
+    plan = None
+    if args.auto:
+        plan = plan_auto(
+            table,
+            max_files_per_bucket=args.max_files_per_bucket,
+            small_file_rows=args.small_file_rows,
+        )
+        # tombstone GC discovers its own buckets inside compact();
+        # an empty plan without a grace request means a true no-op
+        if plan or args.tombstone_grace_lsns is not None:
+            version = table.compact(
+                args.max_files_per_bucket,
+                tombstone_grace_lsns=args.tombstone_grace_lsns,
+                extra_buckets=list(plan),
+            )
+        else:
+            version = before.version
+    else:
+        version = table.compact(
+            args.max_files_per_bucket,
+            tombstone_grace_lsns=args.tombstone_grace_lsns,
+        )
     after = table.manifest()
     out = {
         "job": "lake_compact",
@@ -91,6 +166,8 @@ def main() -> None:
         "files_after": len(after.files),
         "compacted": version != before.version,
     }
+    if plan is not None:
+        out["auto_plan"] = {str(b): r for b, r in plan.items()}
     if args.build_blooms is not None:
         out["blooms"] = table.build_blooms(
             columns=args.build_blooms or None

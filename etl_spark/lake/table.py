@@ -2703,6 +2703,7 @@ class LakeTable:
         sort_by: str | None = None,
         split_per_bucket: int = 4,
         zorder_by: list[str] | None = None,
+        extra_buckets: list[int] | set[int] | None = None,
     ) -> int:
         """Rewrite buckets whose live-file count exceeds the bound.
         At 10^10-row scale this runs as a periodic maintenance job.
@@ -2775,6 +2776,13 @@ class LakeTable:
                         "use sort_by for a 1-D string layout"
                     )
         todo = [b for b, n in per_bucket.items() if n > max_files_per_bucket]
+        if extra_buckets:
+            # policy-selected targets (jobs/compact.py --auto): union
+            # with the threshold selection, restricted to buckets that
+            # actually hold live files in this snapshot
+            todo = sorted(
+                set(todo) | (set(extra_buckets) & set(per_bucket))
+            )
         if purge_below:
             # tombstone GC visits exactly the buckets holding a
             # qualifying tombstone: one column-pruned scan of

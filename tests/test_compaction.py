@@ -167,3 +167,73 @@ def test_tombstone_gc_with_grace(spark, tmp_path):
         (F.col("conv_id") == victim[0]) & (F.col("turn_idx") == victim[1])
     )
     assert zombie.count() == 1  # resurrection — the documented hazard
+
+
+def test_auto_policy_selects_then_noops(spark, tmp_path):
+    """--auto policy loop: plan_auto picks buckets by file count /
+    patch bit / small files from manifest metadata alone; after one
+    compaction pass the plan is empty and state is unchanged (the
+    idempotent no-op)."""
+    from etl_spark.jobs.compact import plan_auto
+
+    g = GenConfig(n_convs=5, n_events=100, segment_size=20, dup_rate=0.05)
+    base, ops = gen_base(g), gen_schema_ops(g)
+    binlog = gen_binlog(g, base, ops)
+    cfg = EngineConfig(
+        table_root=str(tmp_path / "t"), manifest_dir=str(tmp_path / "m"),
+        checkpoint_dir=str(tmp_path / "c"), num_buckets=4, write_mode="mor",
+    )
+    bootstrap(spark, cfg, base)
+    _apply_all(spark, cfg, ops, binlog)
+    table = LakeTable(spark, cfg.table_root)
+
+    plan = plan_auto(table, max_files_per_bucket=2, small_file_rows=10)
+    assert plan, "multi-batch MoR replay must leave qualifying buckets"
+    # MoR deltas carry the patch bit wherever patch events landed, and
+    # every reason string is one of the documented criteria
+    assert all(
+        set(rs) <= {"file_count", "patches", "small_files"}
+        for rs in plan.values()
+    )
+
+    before = final_state(spark, cfg).toPandas()
+    v1 = table.compact(max_files_per_bucket=2, extra_buckets=list(plan))
+    after = final_state(spark, cfg).toPandas()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(before, after)
+
+    # second policy pass: nothing qualifies -> empty plan, and the
+    # caller's no-op contract means the version must not move
+    plan2 = plan_auto(table, max_files_per_bucket=2, small_file_rows=10)
+    assert plan2 == {}, plan2
+    assert table.manifest().version == v1
+
+
+def test_auto_policy_small_files_criterion(spark, tmp_path):
+    """A bucket under the count bound but full of tiny files still
+    qualifies via small_file_rows; with the criterion off it does
+    not."""
+    from etl_spark.jobs.compact import plan_auto
+
+    g = GenConfig(n_convs=3, n_events=40, segment_size=10, dup_rate=0.0)
+    base, ops = gen_base(g), gen_schema_ops(g)
+    binlog = gen_binlog(g, base, ops)
+    cfg = EngineConfig(
+        table_root=str(tmp_path / "t"), manifest_dir=str(tmp_path / "m"),
+        checkpoint_dir=str(tmp_path / "c"), num_buckets=2,
+    )
+    bootstrap(spark, cfg, base)
+    _apply_all(spark, cfg, ops, binlog)
+    table = LakeTable(spark, cfg.table_root)
+    m = table.manifest()
+    per: dict[int, int] = {}
+    for f in m.files:
+        per[f.bucket] = per.get(f.bucket, 0) + 1
+    bound = max(per.values())  # nothing exceeds the count bound now
+    assert plan_auto(table, max_files_per_bucket=bound) == {}
+    plan = plan_auto(
+        table, max_files_per_bucket=bound, small_file_rows=1_000_000
+    )
+    assert plan, "tiny multi-file buckets must qualify via small_files"
+    assert all(rs == ["small_files"] for rs in plan.values())
