@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_components",
     "contamination_overlap",
+    "dedup_index_incremental",
     "dedup_minhash_lsh",
     "sim_cosine_topk",
     "sim_lsh_ann_topk",

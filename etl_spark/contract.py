@@ -1312,6 +1312,62 @@ def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained exact-dedup index (lake/dedup_index.py):
+    commit the documents corpus into a lake table in two batches —
+    the second mixing inserts, text-rewriting updates, and deletes —
+    refreshing the fp-bucketed membership index from the CHANGE FEED
+    after each (full, then incremental). The returned group view must
+    equal a from-scratch dedup of the final corpus state, which is
+    exactly what the oracle computes — proving the O(batch) feed fold
+    reproduces the O(corpus) recompute."""
+    from etl_spark.lake.dedup_index import (
+        create_index, groups, refresh_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    table = LakeTable.create(
+        spark, _tmp("didx_docs"),
+        fields=[("doc_id", "long"), ("text", "string")],
+        key=["doc_id"], bucket_by="doc_id", num_buckets=8,
+    )
+    index = create_index(spark, _tmp("didx_idx"), num_buckets=8)
+    c1 = docs.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id", "text",
+        F.lit(1).alias("lsn"), F.lit("U").alias("op"),
+    )
+    merge_into(table, c1, batch_key="b1")
+    refresh_index(table, index)
+    ins = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", "text", F.lit(2).alias("lsn"), F.lit("U").alias("op")
+    )
+    upd = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+        F.lit(3).alias("lsn"), F.lit("U").alias("op"),
+    )
+    dele = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.lit(None).cast("string").alias("text"),
+        F.lit(4).alias("lsn"), F.lit("D").alias("op"),
+    )
+    c2 = resolve_max_lsn(
+        ins.unionByName(upd).unionByName(dele), ["doc_id"]
+    )
+    merge_into(table, c2, batch_key="b2")
+    refresh_index(table, index)
+    return groups(index)
+
+
+SQL_DEDUP_INDEX_INCR = """
+WITH final AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0)
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+       min(doc_id) AS keeper_id, count(*) AS n_dups
+FROM final GROUP BY 1
+"""
+
+
 def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval contamination gate: eval split = doc_id % 10 == 0,
     train = the rest; per eval doc the best-overlapping training doc
@@ -2273,6 +2329,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_components": q_dedup_components,
+    "dedup_index_incremental": q_dedup_index_incremental,
     "contamination_overlap": q_contamination_overlap,
     "corpus_curation": q_corpus_curation,
     "sim_cosine_topk": q_sim_cosine_topk,
@@ -2331,6 +2388,7 @@ ORACLES = {
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
     "dedup_components": SQL_DEDUP_COMPONENTS,
     "dedup_components_star": SQL_DEDUP_COMPONENTS,
+    "dedup_index_incremental": SQL_DEDUP_INDEX_INCR,
     "contamination_overlap": SQL_CONTAMINATION,
     "corpus_curation": SQL_CORPUS_CURATION,
     "sim_cosine_topk": SQL_SIM_COSINE_TOPK,
