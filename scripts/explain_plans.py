@@ -256,6 +256,27 @@ def main() -> None:
     checks.append(("bloom lookup prunes key-free files in the bucket",
                    0 < nb_post < nb_pre and nb_miss == 0))
 
+    # write-time blooms: with the policy set, every merge builds its
+    # staged files' sidecars and publishes them IN the same commit —
+    # a point lookup right after the merge prunes the new files with
+    # NO build_blooms maintenance pass having run
+    wt = LakeTable.create(
+        spark, os.path.join(tdir, "tbl_wtbloom"),
+        [("user_id", "long"), ("v", "long")],
+        ["user_id"], "user_id", num_buckets=2, write_mode="mor",
+    )
+    wt.set_bloom_on_write()
+    for i in range(3):
+        merge_into(wt, spark.createDataFrame(
+            [(u, u, "U", i * 1000 + u) for u in range(i * 100, i * 100 + 100)],
+            "user_id long, v long, op string, lsn long",
+        ), batch_key=f"b{i}")
+    nw_all = len(wt.read().inputFiles())
+    nw_hit = len(wt.lookup([5]).inputFiles())
+    nw_miss = len(wt.lookup([10_000_000]).inputFiles())
+    checks.append(("write-time bloom prunes right after merge",
+                   0 < nw_hit < nw_all and nw_miss == 0))
+
     # generic-column blooms: equality skipping on a NON-key column —
     # hash bucketing spreads values everywhere and no sorted layout
     # exists, so only the per-field Bloom sidecars can prove per-file

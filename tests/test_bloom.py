@@ -515,3 +515,65 @@ def test_where_in_time_travel_before_annotation(spark, tmp_path):
     # current snapshot prunes via the annotations and stays exact
     cur = t.read(where_in={"v": probe})
     assert {r["user_id"] for r in cur.collect()} == {7}
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_write_time_bloom_policy(spark, tmp_path, mode):
+    """set_bloom_on_write: every merge's staged files publish with
+    their sidecars in the same commit — the post-merge lookup prunes
+    without any build_blooms pass, and results stay exact."""
+    t = _mk(spark, tmp_path, mode, name="wt")
+    t.set_bloom_on_write()
+    for b in range(3):
+        merge_into(t, _src(spark, _rows(b * 50, 50, b)), batch_key=f"b{b}")
+    m = t.manifest()
+    assert all(f.bloom is not None for f in m.files), [
+        f.path for f in m.files if f.bloom is None
+    ]
+    got = {r["user_id"]: r["v"] for r in t.lookup([5, 75, 125]).collect()}
+    assert set(got) == {5, 75, 125}
+    # absent key: every file proven key-free
+    assert t.lookup([10_000_000]).count() == 0
+    assert len(t.lookup([10_000_000]).inputFiles()) == 0
+
+
+def test_write_time_bloom_generic_column_and_disable(spark, tmp_path):
+    t = _mk(spark, tmp_path, "mor", name="wtg")
+    t.set_bloom_on_write(columns=["user_id", "v"])
+    merge_into(t, _src(spark, _rows(0, 40, 1)), batch_key="b0")
+    m = t.manifest()
+    vid = {f.name: f.id for f in m.schema.fields}["v"]
+    assert all(
+        f.bloom is not None and vid in (f.col_blooms or {})
+        for f in m.files
+    )
+    # where_in on the non-key column uses the write-time filter
+    assert t.read(where_in={"v": [15 * 10 + 1]}).count() == 1
+    assert len(t.read(where_in={"v": [999_983]}).inputFiles()) == 0
+    # disabling stops annotation for later commits
+    t.set_bloom_on_write(enabled=False)
+    merge_into(t, _src(spark, _rows(100, 10, 2)), batch_key="b1")
+    m2 = t.manifest()
+    newly = [f for f in m2.files if f.path not in {f.path for f in m.files}]
+    assert newly and all(f.bloom is None for f in newly)
+
+
+def test_write_time_bloom_policy_survives_rename(spark, tmp_path):
+    """The policy stores field ids: renaming the bucket key keeps
+    write-time filters attached and probes still hash the values."""
+    t = _mk(spark, tmp_path, "mor", name="wtr")
+    t.set_bloom_on_write()
+    merge_into(t, _src(spark, _rows(0, 30, 1)), batch_key="b0")
+    t.rename_column("user_id", "uid")
+    merge_into(
+        t,
+        spark.createDataFrame(pd.DataFrame([
+            dict(uid=u, v=u * 10 + 2, op="U", lsn=200_000 + u)
+            for u in range(30, 60)
+        ])),
+        batch_key="b1",
+    )
+    m = t.manifest()
+    assert all(f.bloom is not None for f in m.files)
+    assert t.lookup([7, 45]).count() == 2
+    assert len(t.lookup([10_000_000]).inputFiles()) == 0
