@@ -1368,6 +1368,110 @@ FROM final GROUP BY 1
 """
 
 
+def q_dedup_index_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained MinHash/LSH NEAR-dup index
+    (lake/neardup_index.py): commit a corpus in two batches (the
+    second mixing inserts, band-moving updates, and deletes),
+    refreshing the bkey-bucketed band-key index from the CHANGE FEED
+    after each (full, then incremental) — then probe a held-out BATCH
+    (doc_id % 4 == 0, never committed) against the index, reading only
+    the probed keys' buckets and verifying candidates by exact Jaccard
+    against only the candidate corpus docs. The oracle recomputes the
+    whole pipeline (signatures, bands, candidates, verify — frequency
+    cap disabled, signature purity) over final-corpus-plus-batch and
+    keeps pairs with a batch side, so a hash match proves the O(batch
+    + touched buckets) probe reproduces the O(corpus) recompute."""
+    from etl_spark.lake.neardup_index import (
+        create_neardup_index, neardup_batch, refresh_neardup_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    table = LakeTable.create(
+        spark, _tmp("ndidx_docs"),
+        fields=[("doc_id", "long"), ("text", "string")],
+        key=["doc_id"], bucket_by="doc_id", num_buckets=8,
+    )
+    index = create_neardup_index(spark, _tmp("ndidx_idx"), num_buckets=8)
+    c1 = docs.filter((F.col("doc_id") % 4).isin(1, 2)).select(
+        "doc_id", "text", F.lit(1).alias("lsn"), F.lit("U").alias("op"),
+    )
+    merge_into(table, c1, batch_key="b1")
+    refresh_neardup_index(table, index)
+    ins = docs.filter(F.col("doc_id") % 4 == 3).select(
+        "doc_id", "text", F.lit(2).alias("lsn"), F.lit("U").alias("op")
+    )
+    upd = docs.filter(
+        (F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 4 != 0)
+    ).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+        F.lit(3).alias("lsn"), F.lit("U").alias("op"),
+    )
+    dele = docs.filter(
+        (F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 4 != 0)
+    ).select(
+        "doc_id", F.lit(None).cast("string").alias("text"),
+        F.lit(4).alias("lsn"), F.lit("D").alias("op"),
+    )
+    c2 = resolve_max_lsn(
+        ins.unionByName(upd).unionByName(dele), ["doc_id"]
+    )
+    merge_into(table, c2, batch_key="b2")
+    refresh_neardup_index(table, index)
+    batch = docs.filter(F.col("doc_id") % 4 == 0).select("doc_id", "text")
+    return neardup_batch(table, index, batch, threshold=0.8)
+
+
+SQL_DEDUP_INDEX_NEARDUP = """
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 4 <> 0 AND doc_id % 7 <> 0),
+alld AS (
+  SELECT doc_id, text FROM corpus
+  UNION ALL
+  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+  FROM alld),
+sh AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                     ELSE list_transform(range(1, len(t) - 1),
+                                         i -> array_to_string(list_slice(t, i, i + 2), ' '))
+                END) AS shingle
+  FROM toks),
+stats AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+sig AS (
+  SELECT id,
+         min(md5('0:' || shingle)) AS mh_0, min(md5('1:' || shingle)) AS mh_1,
+         min(md5('2:' || shingle)) AS mh_2, min(md5('3:' || shingle)) AS mh_3,
+         min(md5('4:' || shingle)) AS mh_4, min(md5('5:' || shingle)) AS mh_5,
+         min(md5('6:' || shingle)) AS mh_6, min(md5('7:' || shingle)) AS mh_7
+  FROM sh GROUP BY id),
+bands AS (
+  SELECT id, 0 AS band, md5(mh_0 || '|' || mh_1) AS bkey FROM sig UNION ALL
+  SELECT id, 1, md5(mh_2 || '|' || mh_3) FROM sig UNION ALL
+  SELECT id, 2, md5(mh_4 || '|' || mh_5) FROM sig UNION ALL
+  SELECT id, 3, md5(mh_6 || '|' || mh_7) FROM sig),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b USING (band, bkey)
+  WHERE a.id < b.id AND (a.id % 4 = 0 OR b.id % 4 = 0)),
+shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.id < b.id
+  GROUP BY 1, 2)
+SELECT s.id_a, s.id_b, s.shared, sa.n_sh AS n_a, sb.n_sh AS n_b
+FROM shared s
+JOIN cand USING (id_a, id_b)
+JOIN stats sa ON sa.id = s.id_a
+JOIN stats sb ON sb.id = s.id_b
+WHERE s.shared * 100 >= 80 * (sa.n_sh + sb.n_sh - s.shared)
+"""
+
+
 def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval contamination gate: eval split = doc_id % 10 == 0,
     train = the rest; per eval doc the best-overlapping training doc
@@ -2344,12 +2448,15 @@ QUERIES = {
     "asof_click_error": q_asof_click_error,
     "cdc_changes_feed": q_cdc_changes_feed,
     "cdc_incremental_agg": q_cdc_incremental_agg,
-    # --- overflow tail: redundant twins only (see NOTE ON ORDER above) ---
+    # --- overflow tail: redundant twins or mirror-evidenced
+    # extensions only (see NOTE ON ORDER above; every overflow entry
+    # still runs under pytest and scripts/check_contract.py) ---
     "src_json_scan": q_src_json_scan,
     "src_csv_scan": q_src_csv_scan,
     "dedup_components_star": q_dedup_components_star,
     "mm_binary_metadata": q_mm_binary_metadata,
     "mm_frame_sample": q_mm_frame_sample,
+    "dedup_index_neardup": q_dedup_index_neardup,
 }
 
 ORACLES = {
@@ -2408,4 +2515,5 @@ ORACLES = {
     "cdc_events_replay": SQL_CDC_EVENTS_REPLAY,
     "cdc_transcripts_replay": SQL_CDC_TRANSCRIPTS_REPLAY,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "dedup_index_neardup": SQL_DEDUP_INDEX_NEARDUP,
 }

@@ -328,6 +328,35 @@ def minhash_signatures(
     return sh.groupBy("id").agg(*aggs)
 
 
+def band_keys(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """LSH band keys from a MinHash signature frame: (id, band, bkey)
+    with bkey = md5 of the band's signature rows. One explode, not a
+    bands-way union: a union would paste `bands` COPIES of the whole
+    signature subtree (shingles + minhash agg) into the plan and
+    recompute it per band — measured 4x+ overhead at bench scale
+    before this rework. Shared by `minhash_lsh_pairs` and the
+    persisted near-dup index (lake/neardup_index.py), which must
+    produce identical keys for incremental probes to be sound."""
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
+                    )
+                ).alias("bkey"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select("id", F.explode(band_structs).alias("_bb")).select(
+        "id", F.col("_bb.band").alias("band"), F.col("_bb.bkey").alias("bkey")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -352,7 +381,6 @@ def minhash_lsh_pairs(
     ngram_jaccard_pairs; LSH only prunes candidates.
     """
     assert num_hashes % bands == 0
-    rows = num_hashes // bands
     sh = shingles(df, id_col, text_col, n)
     freq_ok = (
         sh.groupBy("shingle")
@@ -364,27 +392,7 @@ def minhash_lsh_pairs(
     if cache_shingles:
         sh = _track_persist(sh)  # consumed by sigs, the verify join, stats
     sigs = minhash_signatures(sh, num_hashes)
-
-    # one explode, not a bands-way union: a union would paste `bands`
-    # COPIES of the whole signature subtree (shingles + minhash agg)
-    # into the plan and recompute it per band — measured 4x+ overhead
-    # at bench scale before this rework
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|", *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
-                    )
-                ).alias("bkey"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sigs.select("id", F.explode(band_structs).alias("_bb")).select(
-        "id", F.col("_bb.band").alias("band"), F.col("_bb.bkey").alias("bkey")
-    )
+    banded = band_keys(sigs, num_hashes, bands)
 
     la = banded.select(F.col("id").alias("id_a"), "band", "bkey")
     lb = banded.select(F.col("id").alias("id_b"), "band", "bkey")
