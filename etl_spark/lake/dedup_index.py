@@ -53,12 +53,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from etl_spark.functions.text import fingerprint
-from etl_spark.lake.changes import (
-    CHANGE_TYPE,
-    INSERT,
-    UPDATE_POST,
-    read_changes,
-)
+from etl_spark.lake.changes import read_changes, signed_deltas
 from etl_spark.lake.merge import merge_into
 from etl_spark.lake.table import LakeTable
 from etl_spark.util import read_cursor, write_cursor
@@ -131,14 +126,15 @@ def refresh_index(
         batch_key = f"dedup-full-v{cur}"
     else:
         feed = read_changes(docs, frm, cur, include_pre_images=True)
-        sign = F.when(
-            F.col(CHANGE_TYPE).isin(INSERT, UPDATE_POST), F.lit(1)
-        ).otherwise(F.lit(-1))
+        # signed_deltas owns the feed's +1/-1 algebra (provenance is
+        # known — the feed was just read with pre-images — so skip its
+        # validation scan)
         net = (
-            feed.select(
+            signed_deltas(feed, validate=False)
+            .select(
                 fingerprint(F.col(text_col)).alias("fp"),
                 F.col(id_col).cast("long").alias("doc_id"),
-                sign.alias("_s"),
+                F.col("_sign").alias("_s"),
             )
             .groupBy("fp", "doc_id")
             .agg(F.sum("_s").alias("_net"))

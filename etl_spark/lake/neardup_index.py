@@ -60,12 +60,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from etl_spark.lake.changes import (
-    CHANGE_TYPE,
-    INSERT,
-    UPDATE_POST,
-    read_changes,
-)
+from etl_spark.lake.changes import read_changes, signed_deltas
 from etl_spark.lake.merge import merge_into
 from etl_spark.lake.table import LakeTable
 from etl_spark.operators.dedup import (
@@ -73,6 +68,7 @@ from etl_spark.operators.dedup import (
     band_keys,
     minhash_signatures,
     shingles,
+    verify_pairs_exact,
 )
 from etl_spark.util import read_cursor, write_cursor
 
@@ -84,7 +80,33 @@ INDEX_FIELDS = [
 ]
 INDEX_KEY = ["bkey", "band", "doc_id"]
 
-_PAIR_COLS = ("id_a", "id_b", "shared", "n_a", "n_b")
+# manifest prop stamping the signature params the stored keys were
+# built with — a probe/refresh under different params would silently
+# miss every near-dup (wrong hash space), so mismatches must raise
+_PARAMS_PROP = "neardup_params"
+
+
+def _params_guard(
+    index: LakeTable, n: int, num_hashes: int, bands: int,
+    stamp: bool = False,
+) -> None:
+    """Raise if the index was built with different (n, num_hashes,
+    bands) than the caller is using. Unstamped indexes (created
+    outside `create_neardup_index`) are stamped on first refresh when
+    `stamp=True`, tolerated read-only otherwise."""
+    want = f"{n}:{num_hashes}:{bands}"
+    have = index.manifest().props.get(_PARAMS_PROP)
+    if have is None:
+        if stamp:
+            index._set_props({_PARAMS_PROP: want})
+        return
+    if have != want:
+        raise ValueError(
+            f"near-dup index at {index.root} stores band keys built "
+            f"with (n:num_hashes:bands) = {have}; called with {want} "
+            "— a different hash space would silently miss every "
+            "near-duplicate"
+        )
 
 
 def create_neardup_index(
@@ -92,12 +114,19 @@ def create_neardup_index(
     root: str,
     num_buckets: int = 16,
     write_mode: str = "cow",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
 ) -> LakeTable:
-    """Create the (empty) band-key index table, bucketed by bkey."""
-    return LakeTable.create(
+    """Create the (empty) band-key index table, bucketed by bkey, and
+    stamp the signature params into its manifest props so later
+    refreshes/probes under different params fail loudly."""
+    table = LakeTable.create(
         spark, root, INDEX_FIELDS, INDEX_KEY, "bkey",
         num_buckets=num_buckets, write_mode=write_mode,
     )
+    table._set_props({_PARAMS_PROP: f"{n}:{num_hashes}:{bands}"})
+    return table
 
 
 def _cursor_path(index: LakeTable) -> str:
@@ -129,7 +158,9 @@ def refresh_neardup_index(
     in noop | full | incremental (full on first refresh and after a
     rollback inside the window). The (n, num_hashes, bands) signature
     parameters must be held constant across a given index's lifetime —
-    they define the stored keys."""
+    they define the stored keys (enforced via the manifest-props
+    stamp: a mismatch raises)."""
+    _params_guard(index, n, num_hashes, bands, stamp=True)
     cursor = _cursor_path(index)
     frm = read_cursor(cursor, "refreshed_version")
     cur = docs.current_version()
@@ -140,11 +171,17 @@ def refresh_neardup_index(
         docs.manifest(v).props.get("rollback_commit") == v
         for v in range(frm + 1, cur + 1)
     )
+    to_release = []
     if frm == 0 or rolled_back:
         base = docs.read(version=cur).select(
             F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("text")
         )
-        fresh = _band_rows(base, n, num_hashes, bands)
+        # persisted: referenced by BOTH the stale anti-join and the
+        # src union — unpersisted a re-signature of the whole corpus
+        # would run twice per resync (the duplicated-subtree cost the
+        # band_keys docstring measured at 4x+)
+        fresh = _band_rows(base, n, num_hashes, bands).persist()
+        to_release.append(fresh)
         stale = (
             index.read()
             .select(*INDEX_KEY)
@@ -161,19 +198,23 @@ def refresh_neardup_index(
         batch_key = f"neardup-full-v{cur}"
     else:
         feed = read_changes(docs, frm, cur, include_pre_images=True)
-        sign = F.when(
-            F.col(CHANGE_TYPE).isin(INSERT, UPDATE_POST), F.lit(1)
-        ).otherwise(F.lit(-1))
+        # signed_deltas owns the feed's +1/-1 algebra (provenance is
+        # known here — the feed was just read with pre-images — so
+        # skip its validation scan); persisted because the adds and
+        # rems branches both consume it
         per_text = (
-            feed.select(
+            signed_deltas(feed, validate=False)
+            .select(
                 F.col(id_col).cast("long").alias("id"),
                 F.col(text_col).alias("text"),
-                sign.alias("_s"),
+                F.col("_sign").alias("_s"),
             )
             .groupBy("id", "text")
             .agg(F.sum("_s").alias("_net"))
             .filter(F.col("_net") != 0)
+            .persist()
         )
+        to_release.append(per_text)
         # per doc at most one net>0 text and one net<0 text survive
         # (module docstring), so ids are unique within each side and
         # the signature groupBy stays per-document
@@ -201,46 +242,13 @@ def refresh_neardup_index(
         mode = "incremental"
         batch_key = f"neardup-incr-{frm}-{cur}"
 
-    merge_into(index, src.withColumn("lsn", F.lit(cur)), batch_key=batch_key)
+    try:
+        merge_into(index, src.withColumn("lsn", F.lit(cur)), batch_key=batch_key)
+    finally:
+        for df in to_release:  # merge_into is eager; caches are spent
+            df.unpersist()
     write_cursor(cursor, "refreshed_version", cur)
     return {"from_version": frm, "to_version": cur, "mode": mode}
-
-
-def _verify_pairs(
-    sh_all: DataFrame, cand: DataFrame, threshold: float
-) -> DataFrame:
-    """Exact-Jaccard verification of candidate pairs over a combined
-    shingle frame — the same candidate-restricted verify as
-    `minhash_lsh_pairs` (prune BEFORE the co-shingle join; the pair
-    space materializes only for colliding docs)."""
-    cand_ids = (
-        cand.select(F.col("id_a").alias("id"))
-        .unionByName(cand.select(F.col("id_b").alias("id")))
-        .distinct()
-    )
-    sh_c = sh_all.join(cand_ids, "id", "left_semi")
-    a = sh_c.select(F.col("id").alias("id_a"), "shingle")
-    b = sh_c.select(F.col("id").alias("id_b"), "shingle")
-    shared = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .join(cand, ["id_a", "id_b"], "left_semi")
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("shared"))
-    )
-    stats = sh_all.groupBy("id").agg(F.count("*").alias("n_sh"))
-    sa = stats.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = stats.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    pct = int(round(threshold * 100))
-    return (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
-        .filter(
-            F.col("shared") * 100
-            >= F.lit(pct) * (F.col("n_a") + F.col("n_b") - F.col("shared"))
-        )
-        .select(*_PAIR_COLS)
-    )
 
 
 def neardup_batch(
@@ -267,6 +275,7 @@ def neardup_batch(
     corpus membership exceeds the cap — the probe-time mega-bucket
     guard (module docstring); skipped buckets only prune CANDIDATES,
     verification stays exact."""
+    _params_guard(index, n, num_hashes, bands)
     b = batch.select(
         F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("text")
     )
@@ -331,7 +340,7 @@ def neardup_batch(
         sh_all = sh_b.unionByName(shingles(corpus_docs, "id", "text", n))
     else:
         sh_all = sh_b
-    return _verify_pairs(sh_all, cand, threshold)
+    return verify_pairs_exact(sh_all, cand, threshold)
 
 
 def neardup_pairs(
@@ -348,9 +357,16 @@ def neardup_pairs(
     buckets come from stored rows, not a fresh signature pass), exact
     Jaccard verify. Equals a from-scratch `minhash_lsh_pairs` with the
     frequency cap disabled — the golden tests prove it across change
-    windows. Shape (id_a, id_b, shared, n_a, n_b)."""
-    idx = index.read().select("band", "bkey", F.col("doc_id").alias("id"))
-    cand = (
+    windows. Shape (id_a, id_b, shared, n_a, n_b). Persisted
+    intermediates (the index scan consumed by both sides of its
+    self-join; the candidate set consumed twice inside the verify) are
+    tracked like every dedup operator's — the caller releases them via
+    operators.dedup.release_caches() after consuming the result."""
+    _params_guard(index, n, num_hashes, bands)
+    idx = _track_persist(
+        index.read().select("band", "bkey", F.col("doc_id").alias("id"))
+    )
+    cand = _track_persist(
         idx.select(F.col("id").alias("id_a"), "band", "bkey")
         .join(idx.select(F.col("id").alias("id_b"), "band", "bkey"), ["band", "bkey"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -360,4 +376,4 @@ def neardup_pairs(
     base = docs.read().select(
         F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("text")
     )
-    return _verify_pairs(shingles(base, "id", "text", n), cand, threshold)
+    return verify_pairs_exact(shingles(base, "id", "text", n), cand, threshold)

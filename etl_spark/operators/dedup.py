@@ -404,15 +404,25 @@ def minhash_lsh_pairs(
     )
     if cache_shingles:
         cand = _track_persist(cand)  # consumed by cand_ids and the pair semi-join
+    return verify_pairs_exact(sh, cand, threshold)
 
-    # exact verify on candidates only — prune BEFORE the expensive
-    # join: restrict the shingle table to candidate doc ids, then
-    # restrict the expanded pair stream to candidate pairs before the
-    # aggregation. This is the whole point of LSH: the co-shingle pair
-    # space materializes only for docs that collided in some band
-    # (~N/bucket work), never corpus-wide. (Round 1 aggregated over
-    # ALL co-shingle pairs first and semi-joined after — the full
-    # pair-space cost LSH exists to avoid; flagged in VERDICT r01.)
+
+def verify_pairs_exact(
+    sh: DataFrame, cand: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs over a shingle
+    frame (id, shingle) — prune BEFORE the expensive join: restrict
+    the shingle table to candidate doc ids, then restrict the expanded
+    pair stream to candidate pairs before the aggregation. This is the
+    whole point of LSH: the co-shingle pair space materializes only
+    for docs that collided in some band (~N/bucket work), never
+    corpus-wide. (Round 1 aggregated over ALL co-shingle pairs first
+    and semi-joined after — the full pair-space cost LSH exists to
+    avoid; flagged in VERDICT r01.) Integer-pct threshold arithmetic
+    for cross-engine determinism. Shared by `minhash_lsh_pairs` and
+    the persisted near-dup index (lake/neardup_index.py), which must
+    verify identically for the index-vs-recompute goldens to hold.
+    Returns (id_a, id_b, shared, n_a, n_b)."""
     cand_ids = (
         cand.select(F.col("id_a").alias("id"))
         .unionByName(cand.select(F.col("id_b").alias("id")))

@@ -232,3 +232,26 @@ def test_batch_probe_empty_and_bucket_cap(spark, tmp_path):
     }
     release_caches()
     assert pairs == {(10, 11)}
+
+
+def test_param_mismatch_raises_not_misses(spark, tmp_path):
+    """Signature params are stamped at create and enforced at
+    refresh/probe time — a mismatch must raise, never silently return
+    an empty pair set from a foreign hash space."""
+    docs = _mk_docs(spark, tmp_path, "cow")
+    index = create_neardup_index(
+        spark, str(tmp_path / "idx"), num_buckets=4,
+        n=3, num_hashes=8, bands=4,
+    )
+    merge_into(docs, _src(spark, [
+        dict(doc_id=1, text=BASE, lsn=1, op="U"),
+    ]), batch_key="c1")
+    refresh_neardup_index(docs, index)  # matching params: fine
+
+    batch = _src(spark, [dict(doc_id=10, text=NEAR)])
+    with pytest.raises(ValueError, match="hash space"):
+        neardup_batch(docs, index, batch, num_hashes=16, bands=8)
+    with pytest.raises(ValueError, match="hash space"):
+        refresh_neardup_index(docs, index, n=5)
+    with pytest.raises(ValueError, match="hash space"):
+        neardup_pairs(docs, index, bands=2)
