@@ -1472,6 +1472,103 @@ WHERE s.shared * 100 >= 80 * (sa.n_sh + sb.n_sh - s.shared)
 """
 
 
+def q_sim_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained IVF ANN index (lake/ann_index.py):
+    commit an embeddings corpus in two batches (the second mixing
+    inserts, CELL-MOVING updates — vector negation flips the nearest
+    centroid — and deletes), refreshing the cell-bucketed posting-list
+    index from the CHANGE FEED after each (full, then incremental) —
+    then search a held-out query batch (vec_id % 4 == 0, never
+    committed) against the index: read only the probed cells' buckets,
+    exact-cosine only the candidate corpus vectors. Centroids = the
+    deterministic corpus prefix (vec_id < 8), stamped into the index
+    manifest at create. The oracle recomputes assignment + same-cell
+    top-k over the final corpus from scratch, so a hash match proves
+    the O(batch + probed cells) search reproduces the O(corpus)
+    recompute."""
+    from etl_spark.lake.ann_index import (
+        ann_batch, create_ann_index, refresh_ann_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    table = LakeTable.create(
+        spark, _tmp("annidx_emb"),
+        fields=[("vec_id", "long"), ("embedding", "array<float>")],
+        key=["vec_id"], bucket_by="vec_id", num_buckets=8,
+    )
+    index = create_ann_index(spark, _tmp("annidx_idx"), cents, num_buckets=8)
+    c1 = emb.filter((F.col("vec_id") % 4).isin(1, 2)).select(
+        "vec_id", "embedding", F.lit(1).alias("lsn"), F.lit("U").alias("op"),
+    )
+    merge_into(table, c1, batch_key="b1")
+    refresh_ann_index(table, index)
+    ins = emb.filter(F.col("vec_id") % 4 == 3).select(
+        "vec_id", "embedding", F.lit(2).alias("lsn"), F.lit("U").alias("op")
+    )
+    upd = emb.filter(
+        (F.col("vec_id") % 5 == 0) & (F.col("vec_id") % 4 != 0)
+    ).select(
+        "vec_id",
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+        F.lit(3).alias("lsn"), F.lit("U").alias("op"),
+    )
+    dele = emb.filter(
+        (F.col("vec_id") % 7 == 0) & (F.col("vec_id") % 4 != 0)
+    ).select(
+        "vec_id", F.lit(None).cast("array<float>").alias("embedding"),
+        F.lit(4).alias("lsn"), F.lit("D").alias("op"),
+    )
+    c2 = resolve_max_lsn(
+        ins.unionByName(upd).unionByName(dele), ["vec_id"]
+    )
+    merge_into(table, c2, batch_key="b2")
+    refresh_ann_index(table, index)
+    queries = emb.filter(F.col("vec_id") % 4 == 0).select("vec_id", "embedding")
+    return ann_batch(table, index, queries, k=3, n_probe=1)
+
+
+SQL_SIM_ANN_INDEX = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
+corpus AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 5 = 0 THEN list_transform(v, x -> -x) ELSE v END AS v
+  FROM e WHERE vec_id % 4 <> 0 AND vec_id % 7 <> 0),
+ac AS (SELECT c.vec_id, c.v, ct.cell,
+              list_dot_product(c.v, ct.cv)
+                - 0.5 * list_dot_product(ct.cv, ct.cv) AS s
+       FROM corpus c CROSS JOIN cents ct),
+assign AS (SELECT vec_id, v, cell
+           FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY s DESC, cell DESC) AS rn
+                 FROM ac)
+           WHERE rn = 1),
+aq AS (SELECT q.vec_id, q.v, ct.cell,
+              list_dot_product(q.v, ct.cv)
+                - 0.5 * list_dot_product(ct.cv, ct.cv) AS s
+       FROM (SELECT vec_id, v FROM e WHERE vec_id % 4 = 0) q
+       CROSS JOIN cents ct),
+qa AS (SELECT vec_id AS query_id, v AS qv, cell
+       FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY s DESC, cell DESC) AS rn
+             FROM aq)
+       WHERE rn = 1),
+s AS (SELECT qa.query_id, a.vec_id AS neighbor_id,
+             list_dot_product(qa.qv, a.v)
+               / (sqrt(list_dot_product(qa.qv, qa.qv)) * sqrt(list_dot_product(a.v, a.v))) AS score
+      FROM qa JOIN assign a ON a.cell = qa.cell AND a.vec_id <> qa.query_id)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id ASC) AS rank
+      FROM s)
+WHERE rank <= 3
+"""
+
+
 def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval contamination gate: eval split = doc_id % 10 == 0,
     train = the rest; per eval doc the best-overlapping training doc
@@ -2457,6 +2554,7 @@ QUERIES = {
     "mm_binary_metadata": q_mm_binary_metadata,
     "mm_frame_sample": q_mm_frame_sample,
     "dedup_index_neardup": q_dedup_index_neardup,
+    "sim_ann_index": q_sim_ann_index,
 }
 
 ORACLES = {
@@ -2516,4 +2614,5 @@ ORACLES = {
     "cdc_transcripts_replay": SQL_CDC_TRANSCRIPTS_REPLAY,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_index_neardup": SQL_DEDUP_INDEX_NEARDUP,
+    "sim_ann_index": SQL_SIM_ANN_INDEX,
 }

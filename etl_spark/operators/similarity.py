@@ -226,6 +226,20 @@ def _kmeans_assign(
     CAST('<repr>' AS DOUBLE): shortest-repr parses back to the exact
     double, and a plain decimal literal would be DECIMAL-typed in
     Spark SQL."""
+    return v.withColumn(
+        "cell",
+        F.expr(f"array_max(array({cell_score_structs(cents, dim)})).cell"),
+    )
+
+
+def cell_score_structs(
+    cents: list[list[float]], dim: int | None, vec: str = "_v"
+) -> str:
+    """The literal (s, cell) struct-array SQL `_kmeans_assign` argmaxes
+    over, factored out so the persisted ANN index (lake/ann_index.py)
+    can sort/slice the SAME expression for multi-cell (n_probe > 1)
+    probes — the two must score identically for index probes to match
+    an `ivf_assign`/`ivf_topk` recompute bit-for-bit."""
     if not dim:
         raise ValueError("literal assignment needs a known dim")
 
@@ -239,7 +253,7 @@ def _kmeans_assign(
         # " + " joins parse left-associative — the same sequential
         # fold order as the unrolled `dot`
         terms = " + ".join(
-            f"(element_at(_v, {i + 1}) * {dlit(c[i])})" for i in range(dim)
+            f"(element_at({vec}, {i + 1}) * {dlit(c[i])})" for i in range(dim)
         )
         half_cc = c[0] * c[0]
         for x in c[1:]:
@@ -249,9 +263,7 @@ def _kmeans_assign(
             f"struct(({terms}) - {dlit(half_cc)} AS s,"
             f" CAST({j} AS BIGINT) AS cell)"
         )
-    return v.withColumn(
-        "cell", F.expr(f"array_max(array({','.join(structs)})).cell")
-    )
+    return ",".join(structs)
 
 
 def _kmeans_update(assign: DataFrame, dim: int | None, exact_fold: bool) -> DataFrame:

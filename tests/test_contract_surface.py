@@ -50,9 +50,10 @@ def test_replay_flagships_inside_driver_window():
         "dedup_components_star",
         "mm_binary_metadata",
         "mm_frame_sample",
-        # mirror-evidenced extension (scripts/check_contract.py +
-        # tests/test_neardup_index.py goldens)
+        # mirror-evidenced extensions (scripts/check_contract.py +
+        # tests/test_neardup_index.py / test_ann_index.py goldens)
         "dedup_index_neardup",
+        "sim_ann_index",
     }
     overflow = set(keys[50:])
     assert overflow <= redundant_tail, overflow - redundant_tail
