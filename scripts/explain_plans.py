@@ -324,6 +324,55 @@ def main() -> None:
     checks.append(("z-order read prunes on both interleaved columns",
                    0 < nzo_x < nzo_full and 0 < nzo_y < nzo_full))
 
+    # persisted-index probes: both index tables are BUCKETED BY their
+    # probe key (ANN: cell; near-dup: bkey), so a probe's where_in
+    # read plans only the probed keys' buckets/files — the IO shape
+    # that makes ann_batch / neardup_batch O(batch + probed buckets)
+    # instead of O(corpus)
+    from etl_spark.lake.ann_index import create_ann_index, refresh_ann_index
+    from etl_spark.lake.neardup_index import (
+        create_neardup_index, refresh_neardup_index,
+    )
+
+    cents = [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0], [0.0, -1.0]]
+    ae = LakeTable.create(
+        spark, os.path.join(tdir, "tbl_annemb"),
+        [("vec_id", "long"), ("embedding", "array<float>")],
+        ["vec_id"], "vec_id", num_buckets=2,
+    )
+    merge_into(ae, spark.createDataFrame(
+        [(i, cents[i % 4], "U", i + 1) for i in range(64)],
+        "vec_id long, embedding array<float>, op string, lsn long",
+    ), batch_key="b0")
+    ai = create_ann_index(
+        spark, os.path.join(tdir, "tbl_annidx"), cents, num_buckets=4,
+    )
+    refresh_ann_index(ae, ai)
+    na_full = len(ai.read().inputFiles())
+    na_probe = len(ai.read(where_in={"cell": [0]}).inputFiles())
+    checks.append(("ann index probe reads only the probed cell's buckets",
+                   0 < na_probe < na_full))
+
+    nd = LakeTable.create(
+        spark, os.path.join(tdir, "tbl_nddocs"),
+        [("doc_id", "long"), ("text", "string")],
+        ["doc_id"], "doc_id", num_buckets=2,
+    )
+    merge_into(nd, spark.createDataFrame(
+        [(i, f"document number {i} discussing topic {i} entirely", "U", i + 1)
+         for i in range(12)],
+        "doc_id long, text string, op string, lsn long",
+    ), batch_key="b0")
+    ndi = create_neardup_index(
+        spark, os.path.join(tdir, "tbl_ndidx"), num_buckets=4,
+    )
+    refresh_neardup_index(nd, ndi)
+    one_key = ndi.read().select("bkey").first()[0]
+    nn_full = len(ndi.read().inputFiles())
+    nn_probe = len(ndi.read(where_in={"bkey": [one_key]}).inputFiles())
+    checks.append(("near-dup index probe reads only the probed key's buckets",
+                   0 < nn_probe < nn_full))
+
     failed = [name for name, ok in checks if not ok]
     for name, ok in checks:
         print(("ok    " if ok else "FAIL  ") + name)

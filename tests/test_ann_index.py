@@ -232,3 +232,44 @@ def test_validation(spark, tmp_path):
         ann_batch(emb, index, q, n_probe=0)
     with pytest.raises(ValueError, match="n_probe"):
         ann_batch(emb, index, q, n_probe=len(CENTS) + 1)
+
+
+def test_trained_centroids_end_to_end(spark, tmp_path):
+    """The production path: kmeans_train -> create_ann_index ->
+    change-feed refresh -> ann_batch, equal to an ivf_topk recompute
+    with the same trained centroids (the collected k x dim doubles
+    feed both sides exactly)."""
+    from etl_spark.operators.similarity import kmeans_train
+
+    emb = _mk_emb(spark, tmp_path, "cow")
+    merge_into(emb, _src(spark, [
+        dict(vec_id=i, embedding=_vec(i % 3, i), lsn=i + 1, op="U")
+        for i in range(1, 13)
+    ]), batch_key="c1")
+    trained = sorted(
+        kmeans_train(emb.read(), k=2, n_iters=2, dim=DIM, exact_fold=True)
+        .collect(),
+        key=lambda r: r["cell"],
+    )
+    cents = [[float(x) for x in r["centroid"]] for r in trained]
+    index = create_ann_index(spark, str(tmp_path / "idx"), cents, num_buckets=4)
+    refresh_ann_index(emb, index)
+    # a post-training change window keeps the refresh honest
+    merge_into(emb, _src(spark, [
+        dict(vec_id=13, embedding=_vec(1, 13), lsn=20, op="U"),
+        dict(vec_id=2, embedding=None, lsn=21, op="D"),
+    ]), batch_key="c2")
+    assert refresh_ann_index(emb, index)["mode"] == "incremental"
+
+    queries = _queries(spark, [
+        dict(vec_id=100, embedding=_vec(0, 40)),
+        dict(vec_id=101, embedding=_vec(2, 41)),
+    ])
+    got = _sorted(ann_batch(emb, index, queries, k=3, n_probe=1))
+    release_caches()
+    cents_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "vec_id long, embedding array<double>",
+    )
+    want = _sorted(ivf_topk(emb.read(), queries, cents_df, k=3, dim=DIM))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
