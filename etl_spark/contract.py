@@ -2535,10 +2535,10 @@ QUERIES = {
     "corpus_curation": q_corpus_curation,
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_lsh_ann_topk": q_sim_lsh_ann_topk,
-    "sim_ivf_topk": q_sim_ivf_topk,
     "sim_ivf_trained": q_sim_ivf_trained,
+    "dedup_index_neardup": q_dedup_index_neardup,
+    "sim_ann_index": q_sim_ann_index,
     "embedding_neardup": q_embedding_neardup,
-    "mm_decode_features": q_mm_decode_features,
     "mm_decode_real": q_mm_decode_real,
     "mm_decode_audio": q_mm_decode_audio,
     "mm_decode_video": q_mm_decode_video,
@@ -2547,14 +2547,18 @@ QUERIES = {
     "cdc_incremental_agg": q_cdc_incremental_agg,
     # --- overflow tail: redundant twins or mirror-evidenced
     # extensions only (see NOTE ON ORDER above; every overflow entry
-    # still runs under pytest and scripts/check_contract.py) ---
+    # still runs under pytest and scripts/check_contract.py).
+    # sim_ivf_topk's probe path is driver-evidenced by sim_ivf_trained
+    # (same ivf_topk kernel, trained centroids); mm_decode_features'
+    # real-PNG decode is driver-evidenced by mm_decode_real (same
+    # codec, dims+pixel-sum oracle). ---
     "src_json_scan": q_src_json_scan,
     "src_csv_scan": q_src_csv_scan,
     "dedup_components_star": q_dedup_components_star,
     "mm_binary_metadata": q_mm_binary_metadata,
     "mm_frame_sample": q_mm_frame_sample,
-    "dedup_index_neardup": q_dedup_index_neardup,
-    "sim_ann_index": q_sim_ann_index,
+    "sim_ivf_topk": q_sim_ivf_topk,
+    "mm_decode_features": q_mm_decode_features,
 }
 
 ORACLES = {

@@ -50,13 +50,19 @@ def test_replay_flagships_inside_driver_window():
         "dedup_components_star",
         "mm_binary_metadata",
         "mm_frame_sample",
-        # mirror-evidenced extensions (scripts/check_contract.py +
-        # tests/test_neardup_index.py / test_ann_index.py goldens)
-        "dedup_index_neardup",
-        "sim_ann_index",
+        # same-path twins of in-window queries: sim_ivf_trained runs
+        # the same ivf_topk probe kernel; mm_decode_real runs the same
+        # real PNG codec with a dims+pixel-sum oracle
+        "sim_ivf_topk",
+        "mm_decode_features",
     }
     overflow = set(keys[50:])
     assert overflow <= redundant_tail, overflow - redundant_tail
+    # The round-5 incremental-index queries must have driver evidence.
+    for marquee in ("dedup_index_incremental", "dedup_index_neardup",
+                    "sim_ann_index", "sim_ivf_trained",
+                    "contamination_overlap"):
+        assert keys.index(marquee) < 50, marquee
 
 
 def test_entry_module_exposes_full_registry():
