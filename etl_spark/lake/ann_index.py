@@ -18,8 +18,13 @@ or caller-provided) are stamped into the index manifest props at
 CREATE time — JSON round-trips Python floats via shortest repr, so
 the stored values are exact. That makes the index self-describing:
 refreshes and probes always score against the stored centroids, so
-the mismatched-params failure class the MinHash index guards against
-(`neardup_index._params_guard`) cannot arise here at all.
+the mismatched-CONFIG failure class the MinHash index guards against
+(`neardup_index._params_guard`) cannot arise here. Mismatched DATA
+still can — a corpus or query vector whose dim differs from the
+stored centroids', or one carrying NaN/inf — so every vector is
+dim/finiteness-checked (`_checked_vec`) before it is assigned or
+scored; a violation fails the job instead of silently poisoning
+results.
 
 - `refresh_ann_index` folds the embeddings table's change feed into
   posting-list MERGEs with the same double signed collapse as the
@@ -52,10 +57,9 @@ from __future__ import annotations
 import math
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from etl_spark.lake.changes import read_changes, signed_deltas
-from etl_spark.lake.merge import merge_into
+from etl_spark.lake.index_common import probe_version, refresh_derived_index
 from etl_spark.lake.table import LakeTable
 from etl_spark.operators.common import spread
 from etl_spark.operators.dedup import _track_persist
@@ -64,8 +68,8 @@ from etl_spark.operators.similarity import (
     as_double,
     cell_score_structs,
     cosine,
+    rank_topk,
 )
-from etl_spark.util import read_cursor, write_cursor
 
 INDEX_FIELDS = [
     ("cell", "long"),
@@ -123,17 +127,47 @@ def _cursor_path(index: LakeTable) -> str:
     return os.path.join(index.root, "_ann_cursor.json")
 
 
+def _checked_vec(vec, id_c, dim: int, what: str):
+    """Fail the job loudly if a vector is not a finite double array of
+    the stored centroids' dim. Without the guard a dim mismatch or NaN
+    coordinate silently poisons results: element_at past the array end
+    is NULL (every cell score NULL -> deterministic junk cell), a
+    longer vector silently truncates the dot product, and Spark orders
+    NaN above all doubles so one NaN corpus vector would rank 1 for
+    every query probing its cell. assert_true is a JVM-side projection
+    — no extra job, one pass over the array per row."""
+    ok = (F.size(vec) == dim) & F.forall(
+        vec,
+        lambda x: x.isNotNull()
+        & ~F.isnan(x)
+        & (F.abs(x) < F.lit(float("inf"))),
+    )
+    msg = F.concat(
+        F.lit(f"{what} vector must be a finite array of dim {dim} "
+              "(the stored centroids'); got id="),
+        F.coalesce(id_c.cast("string"), F.lit("NULL")),
+        F.lit(" size="),
+        F.coalesce(F.size(vec).cast("string"), F.lit("NULL")),
+    )
+    return F.when(F.assert_true(ok, msg).isNull(), vec)
+
+
 def _assigned(
     d: DataFrame, cents: list[list[float]], id_col: str, vec_col: str
 ) -> DataFrame:
     """(id_col, vec_col) -> (cell, vec_id): nearest-centroid cell via
     the literal projection (no join operator; `spread` so a few-file
-    scan doesn't serialize the k*dim scoring onto one core)."""
+    scan doesn't serialize the k*dim scoring onto one core). Vectors
+    are dim/finiteness-checked against the stored centroids — a
+    mismatch fails the refresh instead of poisoning the index."""
+    dim = len(cents[0])
     v = spread(d).select(
         F.col(id_col).cast("long").alias("id"),
-        as_double(F.col(vec_col)).alias("_v"),
+        _checked_vec(
+            as_double(F.col(vec_col)), F.col(id_col), dim, "corpus"
+        ).alias("_v"),
     )
-    return _kmeans_assign(v, cents, len(cents[0])).select(
+    return _kmeans_assign(v, cents, dim).select(
         "cell", F.col("id").alias("vec_id")
     )
 
@@ -145,93 +179,21 @@ def refresh_ann_index(
     vec_col: str = "embedding",
 ) -> dict:
     """Bring the posting-list index up to the embeddings table's
-    current version. Returns {"from_version", "to_version", "mode"}
-    with mode in noop | full | incremental (full on first refresh and
-    after a rollback inside the window)."""
+    current version (shared scaffold:
+    lake/index_common.refresh_derived_index; `persist=True` because
+    the k*dim centroid scoring is the expensive derivation). Returns
+    {"from_version", "to_version", "mode"} with mode in
+    noop | full | incremental (full on first refresh and after a
+    rollback inside the window)."""
     cents = _centroids(index)
-    cursor = _cursor_path(index)
-    frm = read_cursor(cursor, "refreshed_version")
-    cur = emb.current_version()
-    if cur <= frm and frm != 0:
-        return {"from_version": frm, "to_version": cur, "mode": "noop"}
-
-    rolled_back = frm != 0 and any(
-        emb.manifest(v).props.get("rollback_commit") == v
-        for v in range(frm + 1, cur + 1)
+    return refresh_derived_index(
+        emb, index,
+        id_col=id_col, value_col=vec_col,
+        row_fn=lambda d: _assigned(d, cents, "id", "val"),
+        index_key=INDEX_KEY,
+        prefix="ann", cursor_path=_cursor_path(index),
+        persist=True,
     )
-    to_release = []
-    if frm == 0 or rolled_back:
-        # persisted: referenced by BOTH the stale anti-join and the
-        # src union — unpersisted the corpus would be re-assigned
-        # twice per resync
-        fresh = _assigned(
-            emb.read(version=cur), cents, id_col, vec_col
-        ).persist()
-        to_release.append(fresh)
-        stale = (
-            index.read()
-            .select(*INDEX_KEY)
-            .join(fresh, INDEX_KEY, "left_anti")
-        )
-        src = fresh.withColumn("member", F.lit(True)).withColumn(
-            "op", F.lit("U")
-        ).unionByName(
-            stale.withColumn("member", F.lit(True)).withColumn(
-                "op", F.lit("D")
-            )
-        )
-        mode = "full"
-        batch_key = f"ann-full-v{cur}"
-    else:
-        feed = read_changes(emb, frm, cur, include_pre_images=True)
-        # signed_deltas owns the feed's +1/-1 algebra (provenance is
-        # known — the feed was just read with pre-images — so skip its
-        # validation scan); persisted because the adds and rems
-        # branches both consume it
-        per_vec = (
-            signed_deltas(feed, validate=False)
-            .select(
-                F.col(id_col).cast("long").alias("id"),
-                F.col(vec_col).alias("vec"),
-                F.col("_sign").alias("_s"),
-            )
-            .groupBy("id", "vec")
-            .agg(F.sum("_s").alias("_net"))
-            .filter(F.col("_net") != 0)
-            .persist()
-        )
-        to_release.append(per_vec)
-        adds = _assigned(
-            per_vec.filter(F.col("_net") > 0).select("id", "vec"),
-            cents, "id", "vec",
-        ).withColumn("_s", F.lit(1))
-        rems = _assigned(
-            per_vec.filter(F.col("_net") < 0).select("id", "vec"),
-            cents, "id", "vec",
-        ).withColumn("_s", F.lit(-1))
-        # collapse again per key: an update whose old and new vector
-        # land in the same cell nets 0 and touches nothing
-        net = (
-            adds.unionByName(rems)
-            .groupBy(*INDEX_KEY)
-            .agg(F.sum("_s").alias("_net"))
-            .filter(F.col("_net") != 0)
-        )
-        src = net.select(
-            *INDEX_KEY,
-            F.lit(True).alias("member"),
-            F.when(F.col("_net") > 0, F.lit("U")).otherwise(F.lit("D")).alias("op"),
-        )
-        mode = "incremental"
-        batch_key = f"ann-incr-{frm}-{cur}"
-
-    try:
-        merge_into(index, src.withColumn("lsn", F.lit(cur)), batch_key=batch_key)
-    finally:
-        for df in to_release:  # merge_into is eager; caches are spent
-            df.unpersist()
-    write_cursor(cursor, "refreshed_version", cur)
-    return {"from_version": frm, "to_version": cur, "mode": mode}
 
 
 def ann_batch(
@@ -254,6 +216,17 @@ def ann_batch(
     shape. A query that is itself a corpus member never matches
     itself (same id exclusion as `ivf_topk`).
 
+    Candidate vectors are read at the index cursor's refreshed version
+    (`index_common.probe_version`), NOT the embeddings table's current
+    one: posting lists reflect the last refresh, so scoring a stored
+    candidate with a vector that changed since would mix snapshots —
+    the probe answers "nearest corpus neighbors as of the last
+    refresh", one consistent version.
+
+    Query ids must be distinct (one vector per id): the probe dedups
+    candidates per (query_id, cand_id), which is only well-defined
+    when a query id carries one vector — duplicates raise.
+
     Persisted intermediates are tracked like every dedup/similarity
     operator's — the caller releases them via
     operators.dedup.release_caches() after consuming the result."""
@@ -261,11 +234,23 @@ def ann_batch(
     dim = len(cents[0])
     if not 1 <= n_probe <= len(cents):
         raise ValueError(f"n_probe must be in [1, {len(cents)}]")
+    pin = probe_version(index, _cursor_path(index))
     spark = queries.sparkSession
     q = spread(queries).select(
         F.col(id_col).cast("long").alias("query_id"),
-        as_double(F.col(vec_col)).alias("_qv"),
+        _checked_vec(
+            as_double(F.col(vec_col)), F.col(id_col), dim, "query"
+        ).alias("_qv"),
     )
+    n_q, n_ids = q.agg(
+        F.count(F.lit(1)), F.count_distinct("query_id")
+    ).first()
+    if n_q != n_ids:
+        raise ValueError(
+            f"query batch carries {n_q} rows over {n_ids} distinct "
+            f"{id_col} values — duplicate query ids make the per-"
+            "(query, candidate) dedup nondeterministic"
+        )
     structs = cell_score_structs(cents, dim, vec="_qv")
     # natural struct order sorts (s ASC, cell ASC); reversed = the
     # argmax's (s DESC, cell DESC) — element 1 IS the assignment cell
@@ -297,17 +282,11 @@ def ann_batch(
     cids = [r[0] for r in cand.select("cand_id").distinct().collect()]
     if not cids:
         return spark.createDataFrame([], _RESULT_SCHEMA)
-    vecs = emb.read(where_in={id_col: cids}).select(
+    vecs = emb.read(version=pin, where_in={id_col: cids}).select(
         F.col(id_col).cast("long").alias("cand_id"),
         as_double(F.col(vec_col)).alias("_v"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("cand_id").asc()
+    scored = cand.join(vecs, "cand_id").withColumn(
+        "score", cosine(F.col("_qv"), F.col("_v"), dim)
     )
-    return (
-        cand.join(vecs, "cand_id")
-        .withColumn("score", cosine(F.col("_qv"), F.col("_v"), dim))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", F.col("cand_id").alias("neighbor_id"), "rank")
-    )
+    return rank_topk(scored, k, "cand_id")

@@ -229,6 +229,7 @@ def read_changes(
     from_version,
     to_version=None,
     include_pre_images: bool = False,
+    manifest_cache: dict | None = None,
 ) -> DataFrame:
     """All logical changes committed in versions (from_version,
     to_version] (to_version defaults to the current version), in the
@@ -260,8 +261,12 @@ def read_changes(
     # one driver-side parse per manifest in the window (each pins the
     # FULL file list; re-parsing it ~3x per version — as m_new, as the
     # next commit's m_old, and again in align — is real driver cost at
-    # large-table scale)
-    _cache: dict[int, object] = {}
+    # large-table scale). A caller that already parsed some of the
+    # window (e.g. an index refresh's rollback probe) shares its cache
+    # via `manifest_cache` instead of re-parsing.
+    _cache: dict[int, object] = (
+        manifest_cache if manifest_cache is not None else {}
+    )
 
     def mf(v: int):
         if v not in _cache:

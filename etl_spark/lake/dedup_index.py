@@ -53,10 +53,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from etl_spark.functions.text import fingerprint
-from etl_spark.lake.changes import read_changes, signed_deltas
-from etl_spark.lake.merge import merge_into
+from etl_spark.lake.index_common import refresh_derived_index
 from etl_spark.lake.table import LakeTable
-from etl_spark.util import read_cursor, write_cursor
 
 INDEX_FIELDS = [("fp", "string"), ("doc_id", "long"), ("member", "boolean")]
 INDEX_KEY = ["fp", "doc_id"]
@@ -79,13 +77,12 @@ def _cursor_path(index: LakeTable) -> str:
     return os.path.join(index.root, "_dedup_cursor.json")
 
 
-def _membership(
-    docs: LakeTable, version: int, id_col: str, text_col: str
-) -> DataFrame:
-    return docs.read(version=version).select(
-        fingerprint(F.col(text_col)).alias("fp"),
-        F.col(id_col).cast("long").alias("doc_id"),
-        F.lit(True).alias("member"),
+def _fp_rows(d: DataFrame) -> DataFrame:
+    """(id, val=text) -> (fp, doc_id): the derivation the shared
+    refresh driver folds the change feed through."""
+    return d.select(
+        fingerprint(F.col("val")).alias("fp"),
+        F.col("id").alias("doc_id"),
     )
 
 
@@ -96,60 +93,16 @@ def refresh_index(
     text_col: str = "text",
 ) -> dict:
     """Bring the membership index up to the documents table's current
-    version. Returns {"from_version", "to_version", "mode"} with mode
-    in noop | full | incremental (full on first refresh and after a
+    version (shared scaffold: lake/index_common.refresh_derived_index).
+    Returns {"from_version", "to_version", "mode"} with mode in
+    noop | full | incremental (full on first refresh and after a
     rollback inside the window)."""
-    cursor = _cursor_path(index)
-    frm = read_cursor(cursor, "refreshed_version")
-    cur = docs.current_version()
-    if cur <= frm and frm != 0:
-        return {"from_version": frm, "to_version": cur, "mode": "noop"}
-
-    rolled_back = frm != 0 and any(
-        docs.manifest(v).props.get("rollback_commit") == v
-        for v in range(frm + 1, cur + 1)
+    return refresh_derived_index(
+        docs, index,
+        id_col=id_col, value_col=text_col,
+        row_fn=_fp_rows, index_key=INDEX_KEY,
+        prefix="dedup", cursor_path=_cursor_path(index),
     )
-    if frm == 0 or rolled_back:
-        fresh = _membership(docs, cur, id_col, text_col)
-        stale = (
-            index.read()
-            .select("fp", "doc_id")
-            .join(fresh.select("fp", "doc_id"), ["fp", "doc_id"], "left_anti")
-        )
-        src = fresh.withColumn("op", F.lit("U")).unionByName(
-            stale.select(
-                "fp", "doc_id", F.lit(True).alias("member"),
-                F.lit("D").alias("op"),
-            )
-        )
-        mode = "full"
-        batch_key = f"dedup-full-v{cur}"
-    else:
-        feed = read_changes(docs, frm, cur, include_pre_images=True)
-        # signed_deltas owns the feed's +1/-1 algebra (provenance is
-        # known — the feed was just read with pre-images — so skip its
-        # validation scan)
-        net = (
-            signed_deltas(feed, validate=False)
-            .select(
-                fingerprint(F.col(text_col)).alias("fp"),
-                F.col(id_col).cast("long").alias("doc_id"),
-                F.col("_sign").alias("_s"),
-            )
-            .groupBy("fp", "doc_id")
-            .agg(F.sum("_s").alias("_net"))
-            .filter(F.col("_net") != 0)
-        )
-        src = net.select(
-            "fp", "doc_id", F.lit(True).alias("member"),
-            F.when(F.col("_net") > 0, F.lit("U")).otherwise(F.lit("D")).alias("op"),
-        )
-        mode = "incremental"
-        batch_key = f"dedup-incr-{frm}-{cur}"
-
-    merge_into(index, src.withColumn("lsn", F.lit(cur)), batch_key=batch_key)
-    write_cursor(cursor, "refreshed_version", cur)
-    return {"from_version": frm, "to_version": cur, "mode": mode}
 
 
 def groups(index: LakeTable) -> DataFrame:

@@ -60,8 +60,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from etl_spark.lake.changes import read_changes, signed_deltas
-from etl_spark.lake.merge import merge_into
+from etl_spark.lake.index_common import probe_version, refresh_derived_index
 from etl_spark.lake.table import LakeTable
 from etl_spark.operators.dedup import (
     _track_persist,
@@ -70,7 +69,6 @@ from etl_spark.operators.dedup import (
     shingles,
     verify_pairs_exact,
 )
-from etl_spark.util import read_cursor, write_cursor
 
 INDEX_FIELDS = [
     ("bkey", "string"),
@@ -159,96 +157,24 @@ def refresh_neardup_index(
     rollback inside the window). The (n, num_hashes, bands) signature
     parameters must be held constant across a given index's lifetime —
     they define the stored keys (enforced via the manifest-props
-    stamp: a mismatch raises)."""
+    stamp: a mismatch raises). Shared scaffold:
+    lake/index_common.refresh_derived_index; `persist=True` because
+    the signature pipeline is expensive (the duplicated-subtree cost
+    the band_keys docstring measured at 4x+). Per doc at most one
+    net>0 text and one net<0 text survive the first collapse (module
+    docstring), so ids are unique within each side and the signature
+    groupBy stays per-document."""
     _params_guard(index, n, num_hashes, bands, stamp=True)
-    cursor = _cursor_path(index)
-    frm = read_cursor(cursor, "refreshed_version")
-    cur = docs.current_version()
-    if cur <= frm and frm != 0:
-        return {"from_version": frm, "to_version": cur, "mode": "noop"}
-
-    rolled_back = frm != 0 and any(
-        docs.manifest(v).props.get("rollback_commit") == v
-        for v in range(frm + 1, cur + 1)
+    return refresh_derived_index(
+        docs, index,
+        id_col=id_col, value_col=text_col,
+        row_fn=lambda d: _band_rows(
+            d.select("id", F.col("val").alias("text")), n, num_hashes, bands
+        ),
+        index_key=INDEX_KEY,
+        prefix="neardup", cursor_path=_cursor_path(index),
+        persist=True,
     )
-    to_release = []
-    if frm == 0 or rolled_back:
-        base = docs.read(version=cur).select(
-            F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("text")
-        )
-        # persisted: referenced by BOTH the stale anti-join and the
-        # src union — unpersisted a re-signature of the whole corpus
-        # would run twice per resync (the duplicated-subtree cost the
-        # band_keys docstring measured at 4x+)
-        fresh = _band_rows(base, n, num_hashes, bands).persist()
-        to_release.append(fresh)
-        stale = (
-            index.read()
-            .select(*INDEX_KEY)
-            .join(fresh.select(*INDEX_KEY), INDEX_KEY, "left_anti")
-        )
-        src = fresh.withColumn("member", F.lit(True)).withColumn(
-            "op", F.lit("U")
-        ).unionByName(
-            stale.withColumn("member", F.lit(True)).withColumn(
-                "op", F.lit("D")
-            )
-        )
-        mode = "full"
-        batch_key = f"neardup-full-v{cur}"
-    else:
-        feed = read_changes(docs, frm, cur, include_pre_images=True)
-        # signed_deltas owns the feed's +1/-1 algebra (provenance is
-        # known here — the feed was just read with pre-images — so
-        # skip its validation scan); persisted because the adds and
-        # rems branches both consume it
-        per_text = (
-            signed_deltas(feed, validate=False)
-            .select(
-                F.col(id_col).cast("long").alias("id"),
-                F.col(text_col).alias("text"),
-                F.col("_sign").alias("_s"),
-            )
-            .groupBy("id", "text")
-            .agg(F.sum("_s").alias("_net"))
-            .filter(F.col("_net") != 0)
-            .persist()
-        )
-        to_release.append(per_text)
-        # per doc at most one net>0 text and one net<0 text survive
-        # (module docstring), so ids are unique within each side and
-        # the signature groupBy stays per-document
-        adds = _band_rows(
-            per_text.filter(F.col("_net") > 0).select("id", "text"),
-            n, num_hashes, bands,
-        ).withColumn("_s", F.lit(1))
-        rems = _band_rows(
-            per_text.filter(F.col("_net") < 0).select("id", "text"),
-            n, num_hashes, bands,
-        ).withColumn("_s", F.lit(-1))
-        # collapse again per key: a band the old and new text agree on
-        # nets 0 and touches nothing
-        net = (
-            adds.unionByName(rems)
-            .groupBy(*INDEX_KEY)
-            .agg(F.sum("_s").alias("_net"))
-            .filter(F.col("_net") != 0)
-        )
-        src = net.select(
-            *INDEX_KEY,
-            F.lit(True).alias("member"),
-            F.when(F.col("_net") > 0, F.lit("U")).otherwise(F.lit("D")).alias("op"),
-        )
-        mode = "incremental"
-        batch_key = f"neardup-incr-{frm}-{cur}"
-
-    try:
-        merge_into(index, src.withColumn("lsn", F.lit(cur)), batch_key=batch_key)
-    finally:
-        for df in to_release:  # merge_into is eager; caches are spent
-            df.unpersist()
-    write_cursor(cursor, "refreshed_version", cur)
-    return {"from_version": frm, "to_version": cur, "mode": mode}
 
 
 def neardup_batch(
@@ -274,8 +200,15 @@ def neardup_batch(
     `max_bucket_size` (off by default) skips probed band buckets whose
     corpus membership exceeds the cap — the probe-time mega-bucket
     guard (module docstring); skipped buckets only prune CANDIDATES,
-    verification stays exact."""
+    verification stays exact.
+
+    Corpus texts are read at the index cursor's refreshed version
+    (`index_common.probe_version`), NOT the documents table's current
+    one: stored band keys reflect the last refresh, so verifying a
+    candidate against a text that changed since would mix snapshots —
+    found under its stale bands, Jaccard-verified with its new text."""
     _params_guard(index, n, num_hashes, bands)
+    pin = probe_version(index, _cursor_path(index))
     b = batch.select(
         F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("text")
     )
@@ -333,7 +266,7 @@ def neardup_batch(
         if r[0] not in batch_ids
     ]
     if cids:
-        corpus_docs = docs.read(where_in={id_col: cids}).select(
+        corpus_docs = docs.read(version=pin, where_in={id_col: cids}).select(
             F.col(id_col).cast("long").alias("id"),
             F.col(text_col).alias("text"),
         )
@@ -361,8 +294,11 @@ def neardup_pairs(
     intermediates (the index scan consumed by both sides of its
     self-join; the candidate set consumed twice inside the verify) are
     tracked like every dedup operator's — the caller releases them via
-    operators.dedup.release_caches() after consuming the result."""
+    operators.dedup.release_caches() after consuming the result.
+    Corpus texts read at the cursor's refreshed version — see
+    `neardup_batch` on snapshot consistency."""
     _params_guard(index, n, num_hashes, bands)
+    pin = probe_version(index, _cursor_path(index))
     idx = _track_persist(
         index.read().select("band", "bkey", F.col("doc_id").alias("id"))
     )
@@ -373,7 +309,7 @@ def neardup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    base = docs.read().select(
+    base = docs.read(version=pin).select(
         F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("text")
     )
     return verify_pairs_exact(shingles(base, "id", "text", n), cand, threshold)

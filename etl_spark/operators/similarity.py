@@ -68,6 +68,24 @@ def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
+def rank_topk(scored: DataFrame, k: int, cand_col: str) -> DataFrame:
+    """Shared top-k epilogue over a (query_id, <cand_col>, score)
+    frame: rank by (score DESC, candidate id ASC) and emit
+    (query_id, neighbor_id, rank). Every ANN surface — cosine_topk,
+    lsh_ann_topk, ivf_topk, and the persisted-index probe
+    (lake/ann_index.ann_batch) — must share this exact tie-break for
+    the golden equivalences (index probe == recompute) to hold, so it
+    is single-sourced here."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(cand_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(cand_col).alias("neighbor_id"), "rank")
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -98,14 +116,7 @@ def cosine_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("score", cosine(F.col("_qv"), F.col("_cv"), dim))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
-    )
+    return rank_topk(scored, k, "neighbor_id")
 
 
 def sign_bucket(vec: Column, n_bits: int = 8) -> Column:
@@ -151,14 +162,7 @@ def lsh_ann_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("score", cosine(F.col("_qv"), F.col("_cv"), dim))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
-    )
+    return rank_topk(scored, k, "neighbor_id")
 
 
 def ivf_assign(
@@ -422,14 +426,7 @@ def ivf_topk(
         .filter(F.col("id") != F.col("query_id"))
         .withColumn("score", cosine(F.col("_qv"), F.col("_v"), dim))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", F.col("id").alias("neighbor_id"), "rank")
-    )
+    return rank_topk(scored, k, "id")
 
 
 def embedding_neardup_pairs(

@@ -273,3 +273,93 @@ def test_trained_centroids_end_to_end(spark, tmp_path):
     )
     want = _sorted(ivf_topk(emb.read(), queries, cents_df, k=3, dim=DIM))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_vector_guards_fail_loudly(spark, tmp_path):
+    """A dim-mismatched or non-finite vector must FAIL the refresh or
+    probe, not silently poison it: element_at past the array end is
+    NULL (junk cell), longer vectors silently truncate the dot, and a
+    NaN coordinate would rank 1 for every query probing its cell
+    (Spark orders NaN above all doubles)."""
+    emb = _mk_emb(spark, tmp_path, "cow")
+    index = create_ann_index(spark, str(tmp_path / "idx"), CENTS, num_buckets=4)
+    merge_into(emb, _src(spark, [
+        dict(vec_id=1, embedding=_vec(0, 1), lsn=1, op="U"),
+        dict(vec_id=2, embedding=[1.0, 0.5], lsn=2, op="U"),  # dim 2
+    ]), batch_key="c1")
+    with pytest.raises(Exception, match="finite array of dim 4"):
+        refresh_ann_index(emb, index)
+
+    emb2 = _mk_emb(spark, tmp_path, "mor")
+    merge_into(emb2, _src(spark, [
+        dict(vec_id=1, embedding=_vec(0, 1), lsn=1, op="U"),
+        dict(vec_id=2, embedding=[1.0, 0.0, 0.0, float("nan")], lsn=2, op="U"),
+    ]), batch_key="c1")
+    index2 = create_ann_index(spark, str(tmp_path / "idx2"), CENTS, num_buckets=4)
+    with pytest.raises(Exception, match="finite array of dim 4"):
+        refresh_ann_index(emb2, index2)
+
+    # clean corpus, bad QUERY vector: probe must raise too
+    emb3 = LakeTable.create(
+        spark, str(tmp_path / "emb3"), FIELDS, ["vec_id"],
+        "vec_id", num_buckets=4, write_mode="cow",
+    )
+    merge_into(emb3, _src(spark, [
+        dict(vec_id=i, embedding=_vec(i % 3, i), lsn=i, op="U")
+        for i in range(1, 5)
+    ]), batch_key="c1")
+    index3 = create_ann_index(spark, str(tmp_path / "idx3"), CENTS, num_buckets=4)
+    refresh_ann_index(emb3, index3)
+    bad_q = _queries(spark, [dict(vec_id=100, embedding=[1.0, 0.0])])
+    with pytest.raises(Exception, match="finite array of dim 4"):
+        ann_batch(emb3, index3, bad_q).collect()
+    release_caches()
+
+
+def test_duplicate_query_ids_raise(spark, tmp_path):
+    emb = _mk_emb(spark, tmp_path, "cow")
+    index = create_ann_index(spark, str(tmp_path / "idx"), CENTS, num_buckets=4)
+    merge_into(emb, _src(spark, [
+        dict(vec_id=1, embedding=_vec(0, 1), lsn=1, op="U"),
+    ]), batch_key="c1")
+    refresh_ann_index(emb, index)
+    dupq = _queries(spark, [
+        dict(vec_id=100, embedding=_vec(0, 40)),
+        dict(vec_id=100, embedding=_vec(1, 41)),
+    ])
+    with pytest.raises(ValueError, match="duplicate query ids"):
+        ann_batch(emb, index, dupq)
+
+
+def test_probe_pins_refreshed_snapshot(spark, tmp_path):
+    """Corpus advances AFTER the last refresh: the probe must answer
+    against the refreshed version on BOTH tables (posting lists AND
+    candidate vectors), not mix stale cells with live vectors."""
+    emb = _mk_emb(spark, tmp_path, "cow")
+    index = create_ann_index(spark, str(tmp_path / "idx"), CENTS, num_buckets=4)
+    merge_into(emb, _src(spark, [
+        dict(vec_id=i, embedding=_vec(i % 3, i), lsn=i + 1, op="U")
+        for i in range(1, 10)
+    ]), batch_key="c1")
+    refresh_ann_index(emb, index)
+    pinned = emb.current_version()
+    # un-refreshed churn: vec 4 moves cell 1 -> 2, vec 5 deleted,
+    # vec 20 inserted
+    merge_into(emb, _src(spark, [
+        dict(vec_id=4, embedding=_vec(2, 4), lsn=30, op="U"),
+        dict(vec_id=5, embedding=None, lsn=31, op="D"),
+        dict(vec_id=20, embedding=_vec(1, 20), lsn=32, op="U"),
+    ]), batch_key="c2")
+    queries = _queries(spark, [
+        dict(vec_id=100, embedding=_vec(1, 40)),
+        dict(vec_id=101, embedding=_vec(2, 41)),
+    ])
+    got = _sorted(ann_batch(emb, index, queries, k=3, n_probe=1))
+    release_caches()
+    want = _sorted(ivf_topk(
+        emb.read(version=pinned), queries, _cents_df(spark), k=3, dim=DIM
+    ))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # after a refresh the probe answers against the new version again
+    refresh_ann_index(emb, index)
+    _assert_probe_equals_recompute(spark, emb, index, queries)

@@ -255,3 +255,40 @@ def test_param_mismatch_raises_not_misses(spark, tmp_path):
         refresh_neardup_index(docs, index, n=5)
     with pytest.raises(ValueError, match="hash space"):
         neardup_pairs(docs, index, bands=2)
+
+
+def test_pairs_pin_refreshed_snapshot(spark, tmp_path):
+    """Docs advance AFTER the last refresh: both the pairs view and
+    the batch probe must verify candidate texts at the refreshed
+    version, not mix stored band keys with texts that changed since
+    (a doc found under its stale bands but Jaccard-verified with its
+    new text corresponds to no single corpus version)."""
+    docs = _mk_docs(spark, tmp_path, "cow")
+    index = create_neardup_index(spark, str(tmp_path / "idx"), num_buckets=4)
+    merge_into(docs, _src(spark, [
+        dict(doc_id=1, text=BASE, lsn=1, op="U"),
+        dict(doc_id=2, text=NEAR, lsn=2, op="U"),
+        dict(doc_id=3, text=OTHER, lsn=3, op="U"),
+    ]), batch_key="c1")
+    refresh_neardup_index(docs, index)
+    pinned_df = docs.read(version=docs.current_version())
+    # un-refreshed churn: doc 2's text moves away from BASE entirely
+    merge_into(docs, _src(spark, [
+        dict(doc_id=2, text=OTHER + " again", lsn=10, op="U"),
+    ]), batch_key="c2")
+    got = _sorted(neardup_pairs(docs, index))
+    want = _sorted(_recompute(pinned_df))
+    release_caches()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (got[["id_a", "id_b"]].values == [[1, 2]]).all()  # non-vacuous
+    # the batch probe verifies corpus candidates at the pin too: a
+    # batch doc near doc 2's OLD text must still pair with it
+    probe = neardup_batch(docs, index, _src(spark, [
+        dict(doc_id=50, text=NEAR, lsn=0, op="U"),
+    ]))
+    pairs = {(r["id_a"], r["id_b"]) for r in probe.collect()}
+    release_caches()
+    assert (2, 50) in pairs
+    # after a refresh the surfaces answer against the new version
+    refresh_neardup_index(docs, index)
+    _assert_index_equals_recompute(docs, index)
