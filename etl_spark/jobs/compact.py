@@ -44,9 +44,15 @@ def plan_auto(
     A bucket qualifies when any of:
     - ``file_count``: more live files than `max_files_per_bucket`
       (the read-amplification bound `compact()` itself enforces);
-    - ``patches``: any file carries the MoR patch bit — collapsing
-      patch chains restores the fold-free scan path and upgrades the
-      bucket to per-file prune granularity;
+    - ``patches``: the bucket's files may carry MoR patch rows —
+      judged by the SAME rule the read path uses
+      (`LakeTable._patchy_buckets`: gated on the table-wide
+      `patch_deltas` prop, and a file predating the per-file bit,
+      `has_patches=None`, counts as patchy — those are exactly the
+      files every read pays the per-column fold for, so they are
+      exactly what compaction must collapse); rewriting restores the
+      fold-free scan path and upgrades the bucket to per-file prune
+      granularity;
     - ``small_files``: >= 2 files under `small_file_rows` rows each
       (0 disables) — many tiny files cost a task + a footer each at
       scan time regardless of the count bound.
@@ -58,12 +64,13 @@ def plan_auto(
     per: dict[int, list] = {}
     for f in m.files:
         per.setdefault(f.bucket, []).append(f)
+    patchy = table._patchy_buckets(m, m.files) if include_patches else set()
     plan: dict[int, list[str]] = {}
     for b, fs in sorted(per.items()):
         reasons = []
         if len(fs) > max_files_per_bucket:
             reasons.append("file_count")
-        if include_patches and any(f.has_patches for f in fs):
+        if b in patchy:
             reasons.append("patches")
         if small_file_rows:
             small = [f for f in fs if 0 <= f.rows < small_file_rows]

@@ -65,9 +65,21 @@ def size_bits(max_rows: int, bits_per_row: int = DEFAULT_BITS_PER_ROW) -> int:
     """Filter width for the largest file in a build call (one width
     per call keeps the position job a single expression). Clamped so a
     tiny file still gets a useful filter and a huge one can't bloat
-    the metadata path; width is rounded to a whole byte."""
-    bits = max(MIN_BITS, min(MAX_BITS, bits_per_row * max(1, max_rows)))
-    return (bits + 7) // 8 * 8
+    the metadata path.
+
+    Width is quantized UP to the next power of two: probing runs one
+    position job per distinct (m, k, type) config across the probed
+    files, so raw per-batch widths on a table whose commits carry
+    diverse batch sizes would make point-lookup latency grow with
+    commit-size diversity — quantization caps the distinct configs at
+    log2(MAX/MIN) + 1 (= 11) table-wide, and rounding UP only lowers
+    the false-positive rate. Mixed widths from older builds stay
+    probeable (each file's meta records its own m)."""
+    want = bits_per_row * max(1, max_rows)
+    bits = MIN_BITS
+    while bits < want and bits < MAX_BITS:
+        bits <<= 1
+    return bits
 
 
 def position_columns(col: Column, m_bits: int, k: int) -> Column:

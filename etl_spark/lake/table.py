@@ -2028,26 +2028,35 @@ class LakeTable:
     def _set_props(self, updates: dict) -> int:
         """Props-only metadata commit (no schema or file change). A
         None value removes the key. Stamped as a maintenance commit so
-        the change feed skips diffing it."""
-        m = self.manifest()
-        props = {k: v for k, v in m.props.items() if k not in updates}
-        props.update({k: v for k, v in updates.items() if v is not None})
-        ptrs, pending = m.carry_spec()
-        m2 = Manifest(
-            version=m.version + 1,
-            num_buckets=m.num_buckets,
-            key=m.key,
-            bucket_by=m.bucket_by,
-            schema=m.schema,
-            schemas=m.schemas,
-            bucket_ptrs=ptrs,
-            pending=pending,
-            committed_batches=m.committed_batches,
-            parent=m.version,
-            props={**props, "maintenance_commit": m.version + 1},
-        )
-        self._commit_manifest(m2)
-        return m2.version
+        the change feed skips diffing it. Retries the O_EXCL manifest
+        race like every other commit path (a live writer landing
+        between the read and the commit must not fail a props-only
+        change — re-read and reapply)."""
+        while True:
+            m = self.manifest()
+            props = {k: v for k, v in m.props.items() if k not in updates}
+            props.update(
+                {k: v for k, v in updates.items() if v is not None}
+            )
+            ptrs, pending = m.carry_spec()
+            m2 = Manifest(
+                version=m.version + 1,
+                num_buckets=m.num_buckets,
+                key=m.key,
+                bucket_by=m.bucket_by,
+                schema=m.schema,
+                schemas=m.schemas,
+                bucket_ptrs=ptrs,
+                pending=pending,
+                committed_batches=m.committed_batches,
+                parent=m.version,
+                props={**props, "maintenance_commit": m.version + 1},
+            )
+            try:
+                self._commit_manifest(m2)
+                return m2.version
+            except FileExistsError:
+                continue
 
     def set_bloom_on_write(
         self,
@@ -2989,4 +2998,8 @@ class LakeTable:
             # Compaction is advisory: skip this cycle — the staged
             # files are unreferenced orphans the next vacuum reclaims,
             # and the next cycle re-plans from the fresh manifest.
-            return self.current_version()
+            # Return the PLANNED-FROM version (the same convention as
+            # the no-op paths above): callers infer "did I compact"
+            # from version advance, and returning current_version()
+            # here would count the racing writer's commit as ours.
+            return m.version

@@ -259,8 +259,12 @@ def cell_score_structs(
         terms = " + ".join(
             f"(element_at({vec}, {i + 1}) * {dlit(c[i])})" for i in range(dim)
         )
+        # norm over the SAME dim prefix as the dot terms — folding the
+        # full centroid while dotting a prefix would break the
+        # documented bit-identity with ivf_assign's
+        # dot(v,c,dim) - 0.5*dot(c,c,dim) whenever dim < len(c)
         half_cc = c[0] * c[0]
-        for x in c[1:]:
+        for x in c[1:dim]:
             half_cc += x * x
         half_cc *= 0.5
         structs.append(
@@ -365,8 +369,11 @@ def kmeans_train(
       (O(cell_size*dim) — contract/sf scale only, NOT the 10^9 path).
 
     Empty cells keep their previous centroid (left-join + coalesce),
-    mirrored in the oracle. Returns (cell int, centroid
-    array<double>).
+    mirrored in the oracle. `dim=None` infers the dimension from the
+    init sample (scoring then covers the full vector); pass `dim`
+    explicitly to train on a coordinate prefix. k greater than the
+    corpus size raises (every cell needs a seed). Returns (cell int,
+    centroid array<double>).
 
     Reference has no vector ops; training-pipeline surface
     (SURVEY.md scope extension; VERDICT r4 next-round #3).
@@ -387,6 +394,14 @@ def kmeans_train(
         [float(x) for x in r["_sv"]]
         for r in ids.orderBy("_h", "_sid").limit(k).collect()
     ]
+    if len(cents) < k:
+        raise ValueError(
+            f"k={k} exceeds the corpus size ({len(cents)} vectors) — "
+            "every cell needs a seed"
+        )
+    if dim is None:
+        # the init sample is in hand; its width is the corpus dim
+        dim = len(cents[0])
     v = df.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("_v")
     )

@@ -237,3 +237,55 @@ def test_auto_policy_small_files_criterion(spark, tmp_path):
     )
     assert plan, "tiny multi-file buckets must qualify via small_files"
     assert all(rs == ["small_files"] for rs in plan.values())
+
+
+def test_auto_policy_counts_unknown_patch_bit_as_patchy(spark, tmp_path):
+    """A file predating the per-file patch bit (has_patches=None) is
+    exactly a file every read pays the per-column fold for, so the
+    --auto 'patches' criterion must select its bucket — mirroring the
+    read path's rule (_patchy_buckets: None is patchy, gated on the
+    table-wide patch_deltas prop)."""
+    import dataclasses
+    from unittest import mock
+
+    from etl_spark.jobs.compact import plan_auto
+    from etl_spark.lake.table import Manifest
+
+    g = GenConfig(n_convs=3, n_events=40, segment_size=40, dup_rate=0.0)
+    base, ops = gen_base(g), gen_schema_ops(g)
+    binlog = gen_binlog(g, base, ops)
+    cfg = EngineConfig(
+        table_root=str(tmp_path / "t"), manifest_dir=str(tmp_path / "m"),
+        checkpoint_dir=str(tmp_path / "c"), num_buckets=2, write_mode="mor",
+    )
+    bootstrap(spark, cfg, base)
+    _apply_all(spark, cfg, ops, binlog)
+    table = LakeTable(spark, cfg.table_root)
+    real = table.manifest()
+    bound = max(
+        sum(1 for f in real.files if f.bucket == b)
+        for b in {f.bucket for f in real.files}
+    )
+
+    def fake(armed: bool) -> Manifest:
+        props = {k: v for k, v in real.props.items() if k != "patch_deltas"}
+        if armed:
+            props["patch_deltas"] = True
+        return Manifest(
+            version=real.version, num_buckets=real.num_buckets,
+            key=real.key, bucket_by=real.bucket_by, schema=real.schema,
+            schemas=real.schemas, committed_batches=real.committed_batches,
+            props=props,
+            files=[
+                dataclasses.replace(f, has_patches=None) for f in real.files
+            ],
+        )
+
+    # patch-armed table, unknown bits -> every bucket qualifies
+    with mock.patch.object(LakeTable, "manifest", return_value=fake(True)):
+        plan = plan_auto(table, max_files_per_bucket=bound)
+    assert plan and all("patches" in rs for rs in plan.values()), plan
+
+    # same unknown bits on an UNARMED table -> the prop gate holds
+    with mock.patch.object(LakeTable, "manifest", return_value=fake(False)):
+        assert plan_auto(table, max_files_per_bucket=bound) == {}

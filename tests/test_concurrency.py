@@ -87,7 +87,11 @@ def test_compact_loses_race_gracefully(spark, tmp_path):
         (F.col("conv_id") == conv) & (F.col("turn_idx") == 0)
     ).collect()
     assert len(row) == 1 and row[0]["text"] == f"winner-{max_lsn + 1}"
-    assert v == table.current_version()
+    # a lost race returns the PLANNED-FROM version (same convention as
+    # the no-op paths) so callers' "did I compact" = version-advance
+    # inference can't count the racing writer's commit as ours; the
+    # racer's merge is the only commit that landed
+    assert v == table.current_version() - 1
     # the next (unraced) cycle compacts normally
     v2 = table.compact(max_files_per_bucket=1)
     assert v2 > v

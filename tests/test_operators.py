@@ -709,6 +709,58 @@ def test_kmeans_trained_ivf_search_runs(spark):
     assert all(r["neighbor_id"] != r["query_id"] for r in rows)
 
 
+def test_kmeans_guards_and_dim_inference(spark):
+    """k beyond the corpus raises up front (not IndexError after the
+    jobs ran); dim=None infers the corpus width from the init sample
+    and matches an explicit-dim run bit-for-bit; prefix-dim training
+    folds the centroid norm over the SAME prefix as the dot terms
+    (ivf_assign parity — the old full-vector norm broke the
+    index-probe == recompute equivalence whenever dim < len(vec))."""
+    import pytest as _pt
+
+    rng = np.random.default_rng(10)
+    vecs = rng.normal(size=(12, 6)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(12)],
+        "vec_id: long, embedding: array<float>",
+    )
+    with _pt.raises(ValueError, match="exceeds the corpus size"):
+        SIM.kmeans_train(df, k=20, n_iters=1, dim=6)
+
+    inferred = {
+        r["cell"]: r["centroid"]
+        for r in SIM.kmeans_train(df, k=3, n_iters=2, exact_fold=True).collect()
+    }
+    explicit = {
+        r["cell"]: r["centroid"]
+        for r in SIM.kmeans_train(
+            df, k=3, n_iters=2, dim=6, exact_fold=True
+        ).collect()
+    }
+    assert inferred == explicit
+
+    # prefix-dim parity with ivf_assign: trained centroids (len 6)
+    # scored at dim=3 must assign exactly as ivf_assign's
+    # dot(v,c,3) - 0.5*dot(c,c,3)
+    cents = [list(explicit[j]) for j in sorted(explicit)]
+    v = df.select(
+        F.col("vec_id").alias("id"), SIM.as_double(F.col("embedding")).alias("_v")
+    )
+    got = {
+        r["id"]: r["cell"]
+        for r in SIM._kmeans_assign(v, cents, 3).collect()
+    }
+    cents_df = spark.createDataFrame(
+        [(j, c) for j, c in enumerate(cents)],
+        "vec_id long, embedding array<double>",
+    )
+    want = {
+        r["id"]: r["cell"]
+        for r in SIM.ivf_assign(df, cents_df, dim=3).collect()
+    }
+    assert got == want
+
+
 def test_contamination_overlap_detects_planted_leak(spark):
     train = spark.createDataFrame(
         [
