@@ -64,3 +64,15 @@ class EngineConfig:
     # startup reconciliation, see engine/apply.py reconcile_lineage).
     # Lineage readers drain in-flight writes first.
     async_lineage: bool = True
+    # stream-maintained persisted indexes (engine/indexes.IndexSpec):
+    # after a micro-batch's MERGE commits, each spec'd dedup/near-dup/
+    # ANN index folds that batch's change feed into itself —
+    # O(batch + touched index buckets), main-thread, crash-safe via
+    # the indexes' own cursors + ledgers. Empty = off (zero cost).
+    # The index tables are created by the caller before the stream
+    # starts; the source needs a single long key column (the
+    # documents/embeddings shape).
+    index_specs: tuple = ()
+    # refresh cadence: fold the feed every K batches (amortizes the
+    # per-index fixed cost when micro-batches are small)
+    index_refresh_every_batches: int = 1

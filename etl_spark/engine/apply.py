@@ -605,6 +605,23 @@ def apply_batch(
         table.compact(cfg.compact_max_files_per_bucket)
         _tlog(batch_id, "compact", t)
 
+    # 9. stream-maintained persisted indexes (engine/indexes.py): fold
+    # this batch's change feed into each spec'd dedup/near-dup/ANN
+    # index. Main thread for the same reason as compaction — index
+    # refreshes commit versions (on the INDEX tables) — and safely
+    # AFTER this batch's merge, so the fold window always ends at a
+    # committed version. Crash composition: a crash here leaves the
+    # index cursor behind and the next refresh covers both versions; a
+    # replayed batch's MERGE no-ops via the ledger, so the refresh
+    # sees no new version and no-ops via its cursor.
+    if cfg.index_specs and (
+        (batch_id + 1) % max(1, cfg.index_refresh_every_batches) == 0
+    ):
+        from etl_spark.engine.indexes import refresh_indexes
+
+        refresh_indexes(spark, table, cfg.index_specs)
+        _tlog(batch_id, "index_refresh", t)
+
 
 def reconcile_lineage(
     spark,

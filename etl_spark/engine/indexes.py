@@ -1,0 +1,90 @@
+"""Streaming maintenance of the persisted-index family: keep the
+exact-dedup / near-dup / ANN indexes (lake/dedup_index.py,
+lake/neardup_index.py, lake/ann_index.py) fresh FROM INSIDE the CDC
+replay loop, instead of as a separate maintenance job someone has to
+schedule.
+
+Each index refresh is already an incremental change-feed fold with
+its own cursor and ledgered MERGEs, so wiring it into the apply loop
+needs no new machinery — after a micro-batch's MERGE commits, the
+refresh folds exactly that batch's changes into the index
+(O(batch + touched index buckets) per batch, the same cost class as
+the MERGE itself). Crash anywhere in the window and the contract
+composes: a crash before the refresh leaves the cursor behind — the
+next batch's refresh covers both versions; a replayed batch's MERGE
+no-ops through the table ledger, so the refresh sees no new version
+and no-ops through its cursor. `index_refresh_every_batches`
+amortizes the per-batch fixed cost (a few jobs per index) when
+batches are small.
+
+Index tables are CREATED by the caller (create_index /
+create_neardup_index / create_ann_index — the ANN centroids and
+near-dup signature params are design-time choices stamped into the
+index manifests); the stream only maintains them. Supported source
+shape: a single key column castable to long (the documents/embeddings
+shape) — the transcripts flagship's composite (conv_id, turn_idx) key
+has no per-row long id for index rows to reference, so its indexes
+remain external maintenance.
+
+The reference has nothing comparable (its sink is append-only JDBC);
+this composes the repo's streaming engine with its index family.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from etl_spark.lake.table import LakeTable
+
+KINDS = ("dedup", "neardup", "ann")
+
+
+@dataclass(frozen=True)
+class IndexSpec:
+    """One stream-maintained index: which kind, where it lives, and
+    which source columns feed its derivation. `n`/`num_hashes`/`bands`
+    apply to kind="neardup" only (and must match the params stamped
+    into the index manifest — a mismatch raises at refresh time)."""
+
+    kind: str  # dedup | neardup | ann
+    root: str  # index lake-table root
+    id_col: str  # source's long key column
+    value_col: str  # text (dedup/neardup) or embedding (ann) column
+    n: int = 3
+    num_hashes: int = 8
+    bands: int = 4
+
+    def __post_init__(self):
+        if self.kind not in KINDS:
+            raise ValueError(
+                f"unknown index kind {self.kind!r}; expected one of {KINDS}"
+            )
+
+
+def refresh_indexes(spark, table: LakeTable, specs) -> list[dict]:
+    """Bring every spec'd index up to `table`'s current version (one
+    incremental change-feed fold each; see the index modules for the
+    full/incremental/rollback contract). Runs in the apply loop's MAIN
+    thread: refreshes commit versions on the INDEX tables only, so
+    they serialize naturally with each other and can never race the
+    target table's merges."""
+    from etl_spark.lake import ann_index, dedup_index, neardup_index
+
+    out = []
+    for s in specs:
+        idx = LakeTable(spark, s.root)
+        if s.kind == "dedup":
+            r = dedup_index.refresh_index(
+                table, idx, id_col=s.id_col, text_col=s.value_col
+            )
+        elif s.kind == "neardup":
+            r = neardup_index.refresh_neardup_index(
+                table, idx, id_col=s.id_col, text_col=s.value_col,
+                n=s.n, num_hashes=s.num_hashes, bands=s.bands,
+            )
+        else:  # "ann" — IndexSpec rejects anything else at construction
+            r = ann_index.refresh_ann_index(
+                table, idx, id_col=s.id_col, vec_col=s.value_col
+            )
+        out.append({"kind": s.kind, "root": s.root, **r})
+    return out

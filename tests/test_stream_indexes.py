@@ -1,0 +1,188 @@
+"""Stream-maintained persisted indexes (engine/indexes.py +
+EngineConfig.index_specs): a documents-shaped CDC stream replayed
+through the REAL engine path (file source, checkpoint, foreachBatch,
+ledgered MERGEs) keeps its exact-dedup and near-dup indexes fresh
+per micro-batch — and the final index state must equal a from-scratch
+recompute over the final table, including across a kill/resume."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from etl_spark.cdc_schema import SourceSpec
+from etl_spark.config import EngineConfig
+from etl_spark.engine.indexes import IndexSpec
+from etl_spark.lake.dedup_index import create_index, groups
+from etl_spark.lake.neardup_index import create_neardup_index, neardup_pairs
+from etl_spark.lake.table import LakeTable
+from etl_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    release_caches,
+)
+from etl_spark.pipeline import bootstrap, replay
+from etl_spark.util import read_cursor
+
+DOCS = SourceSpec(
+    "documents",
+    (("doc_id", "long"), ("text", "string")),
+    ("doc_id",),
+    "doc_id",
+)
+
+BASE = "the quick brown fox jumps over the lazy dog near the river"
+NEAR = "the quick brown fox jumps over the lazy dog near the bank"
+OTHER = "completely different content about ships and harbors at night"
+
+
+def _text(i: int) -> str:
+    # duplicates (i % 4 == 1 share BASE), near-dups, and unique tails
+    if i % 4 == 1:
+        return BASE
+    if i % 4 == 2:
+        return NEAR
+    return f"{OTHER} number {i}"
+
+
+def _segment(spark, path, rows):
+    """Write one binlog segment as a single flat parquet FILE (the
+    streaming file source does not recurse into per-segment dirs)."""
+    import glob
+    import shutil
+
+    tmp = path + "._tmp"
+    spark.createDataFrame(
+        rows,
+        "lsn long, op string, doc_id long, op_ts timestamp_ltz, "
+        "schema_version int, payload string",
+    ).coalesce(1).write.parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    os.rename(part, path)
+    shutil.rmtree(tmp)
+
+
+def _u(lsn, doc_id, text):
+    import json
+
+    return (lsn, "U", doc_id, None, 1, json.dumps({"text": text}))
+
+
+def _d(lsn, doc_id):
+    return (lsn, "D", doc_id, None, 1, None)
+
+
+def _mk_world(spark, tmp_path):
+    seg = str(tmp_path / "segments")
+    os.makedirs(seg)
+    # segment 1: 12 inserts; segment 2: re-deliveries + updates +
+    # deletes (the refresh must fold adds AND removals incrementally)
+    _segment(spark, os.path.join(seg, "s1.parquet"), [
+        _u(i, i, _text(i)) for i in range(1, 13)
+    ])
+    _segment(spark, os.path.join(seg, "s2.parquet"), [
+        _u(5, 5, _text(5)),                      # re-delivery (dup lsn)
+        _u(20, 3, BASE),                          # update: joins BASE dup group
+        _u(21, 7, NEAR + " appendix"),            # update: near-dup shift
+        _d(22, 8),                                # delete
+        _u(23, 30, BASE),                         # late insert, dup of BASE
+    ])
+    cfg = EngineConfig(
+        table_root=str(tmp_path / "tbl"),
+        manifest_dir=str(tmp_path / "manifest"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        num_buckets=4,
+        max_files_per_trigger=1,  # one segment per micro-batch
+        index_specs=(
+            IndexSpec("dedup", str(tmp_path / "didx"), "doc_id", "text"),
+            IndexSpec("neardup", str(tmp_path / "ndidx"), "doc_id", "text"),
+        ),
+    )
+    create_index(spark, str(tmp_path / "didx"), num_buckets=4)
+    create_neardup_index(spark, str(tmp_path / "ndidx"), num_buckets=4)
+    return seg, cfg
+
+
+def _assert_indexes_match_recompute(spark, cfg):
+    table = LakeTable(spark, cfg.table_root)
+    didx = LakeTable(spark, cfg.index_specs[0].root)
+    ndidx = LakeTable(spark, cfg.index_specs[1].root)
+    final = table.read().select("doc_id", "text")
+
+    got_g = (
+        groups(didx).toPandas().sort_values("fp").reset_index(drop=True)
+    )
+    want_g = (
+        exact_dedup_groups(final, "doc_id", "text")
+        .select("fp", "keeper_id", "n_dups")
+        .toPandas().sort_values("fp").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_g, want_g, check_dtype=False)
+    assert (want_g["n_dups"] > 1).any()  # non-vacuous: real dup groups
+
+    got_p = (
+        neardup_pairs(table, ndidx)
+        .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    release_caches()
+    want_p = (
+        minhash_lsh_pairs(
+            final, "doc_id", "text", n=3, num_hashes=8, bands=4,
+            threshold=0.8, max_shingle_freq=10**9, cache_shingles=False,
+        )
+        .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    release_caches()
+    pd.testing.assert_frame_equal(got_p, want_p, check_dtype=False)
+    assert len(want_p) > 0  # non-vacuous: real near-dup pairs
+
+    # cursors sit at the table's current version: refreshes tracked
+    # every committed batch, and a post-stream refresh is a no-op
+    cur = table.current_version()
+    assert read_cursor(
+        os.path.join(didx.root, "_dedup_cursor.json"), "refreshed_version"
+    ) == cur
+    assert read_cursor(
+        os.path.join(ndidx.root, "_neardup_cursor.json"), "refreshed_version"
+    ) == cur
+
+
+def test_stream_maintains_indexes(spark, tmp_path):
+    seg, cfg = _mk_world(spark, tmp_path)
+    bootstrap(spark, cfg, None, spec=DOCS)
+    replay(spark, cfg, seg, ops=[], spec=DOCS)
+    _assert_indexes_match_recompute(spark, cfg)
+
+
+def test_stream_index_resume_after_kill(spark, tmp_path):
+    """Run the stream over the first segment only, then add the second
+    and resume from the same checkpoint: the per-batch refreshes plus
+    the cursor/ledger contract must land the indexes in the identical
+    final state (no double-fold of the replayed window)."""
+    seg, cfg = _mk_world(spark, tmp_path)
+    held_out = os.path.join(seg, "s2.parquet")
+    parked = str(tmp_path / "parked.parquet")
+    os.rename(held_out, parked)
+    bootstrap(spark, cfg, None, spec=DOCS)
+    replay(spark, cfg, seg, ops=[], spec=DOCS)
+    # mid-stream state is already recompute-equal
+    _assert_indexes_match_recompute(spark, cfg)
+    os.rename(parked, held_out)
+    replay(spark, cfg, seg, ops=[], spec=DOCS)
+    _assert_indexes_match_recompute(spark, cfg)
+    # the dedup group for BASE ends with keeper 1 and all four members
+    didx = LakeTable(spark, cfg.index_specs[0].root)
+    base_group = (
+        groups(didx)
+        .join(
+            LakeTable(spark, cfg.table_root).read()
+            .filter(F.col("doc_id") == 1)
+            .select(F.col("text")).limit(1).withColumn("_one", F.lit(1)),
+            how="cross",
+        )
+        .filter(F.col("n_dups") >= 4)
+        .collect()
+    )
+    assert base_group and base_group[0]["keeper_id"] == 1
