@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from etl_spark.cdc_schema import SourceSpec
 from etl_spark.config import EngineConfig
 from etl_spark.engine.indexes import IndexSpec
+from etl_spark.lake.ann_index import create_ann_index, refresh_ann_index
 from etl_spark.lake.dedup_index import create_index, groups
 from etl_spark.lake.neardup_index import create_neardup_index, neardup_pairs
 from etl_spark.lake.table import LakeTable
@@ -47,18 +48,20 @@ def _text(i: int) -> str:
     return f"{OTHER} number {i}"
 
 
-def _segment(spark, path, rows):
+def _segment(
+    spark,
+    path,
+    rows,
+    cols="lsn long, op string, doc_id long, op_ts timestamp_ltz, "
+         "schema_version int, payload string",
+):
     """Write one binlog segment as a single flat parquet FILE (the
     streaming file source does not recurse into per-segment dirs)."""
     import glob
     import shutil
 
     tmp = path + "._tmp"
-    spark.createDataFrame(
-        rows,
-        "lsn long, op string, doc_id long, op_ts timestamp_ltz, "
-        "schema_version int, payload string",
-    ).coalesce(1).write.parquet(tmp)
+    spark.createDataFrame(rows, cols).coalesce(1).write.parquet(tmp)
     part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
     os.rename(part, path)
     shutil.rmtree(tmp)
@@ -147,6 +150,100 @@ def _assert_indexes_match_recompute(spark, cfg):
     assert read_cursor(
         os.path.join(ndidx.root, "_neardup_cursor.json"), "refreshed_version"
     ) == cur
+
+
+EMB = SourceSpec(
+    "embeddings",
+    (("vec_id", "long"), ("embedding", "array<float>")),
+    ("vec_id",),
+    "vec_id",
+)
+
+CENTS = [
+    [1.0, 0.0, 0.0, 0.0],
+    [0.0, 1.0, 0.0, 0.0],
+    [0.0, 0.0, 1.0, 0.0],
+]
+
+
+def _vec(cell: int, i: int) -> list[float]:
+    # near CENTS[cell], offset by i/256 on the last axis — exactly
+    # representable in float32, so scores are bit-stable end-to-end
+    v = list(CENTS[cell])
+    v[-1] = i / 256.0
+    return v
+
+
+def _uv(lsn, vec_id, vec):
+    import json
+
+    return (lsn, "U", vec_id, None, 1, json.dumps({"embedding": vec}))
+
+
+def test_stream_maintains_ann_index(spark, tmp_path):
+    """The ANN branch of refresh_indexes through the REAL engine path:
+    an embeddings-shaped stream (array<float> payload column) with
+    inserts, a cell-moving update, a re-delivery, and a delete leaves
+    the IVF posting lists equal to a from-scratch rebuild over the
+    final table, with the cursor at the table's current version."""
+    seg = str(tmp_path / "segments")
+    os.makedirs(seg)
+    _segment(
+        spark,
+        os.path.join(seg, "s1.parquet"),
+        [_uv(i, i, _vec(i % 3, i)) for i in range(1, 10)],
+        cols="lsn long, op string, vec_id long, op_ts timestamp_ltz, "
+             "schema_version int, payload string",
+    )
+    _segment(
+        spark,
+        os.path.join(seg, "s2.parquet"),
+        [
+            _uv(5, 5, _vec(5 % 3, 5)),   # re-delivery (dup lsn)
+            _uv(20, 4, _vec(2, 4)),      # update: cell 1 -> 2
+            (21, "D", 7, None, 1, None),  # delete
+            _uv(22, 30, _vec(0, 30)),    # late insert
+        ],
+        cols="lsn long, op string, vec_id long, op_ts timestamp_ltz, "
+             "schema_version int, payload string",
+    )
+    cfg = EngineConfig(
+        table_root=str(tmp_path / "tbl"),
+        manifest_dir=str(tmp_path / "manifest"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        num_buckets=4,
+        max_files_per_trigger=1,
+        index_specs=(
+            IndexSpec("ann", str(tmp_path / "aidx"), "vec_id", "embedding"),
+        ),
+    )
+    create_ann_index(spark, str(tmp_path / "aidx"), CENTS, num_buckets=4)
+    bootstrap(spark, cfg, None, spec=EMB)
+    replay(spark, cfg, seg, ops=[], spec=EMB)
+
+    table = LakeTable(spark, cfg.table_root)
+    aidx = LakeTable(spark, cfg.index_specs[0].root)
+    got = (
+        aidx.read().select("cell", "vec_id").toPandas()
+        .sort_values(["cell", "vec_id"]).reset_index(drop=True)
+    )
+    rebuilt = create_ann_index(
+        spark, str(tmp_path / "aidx2"), CENTS, num_buckets=4
+    )
+    refresh_ann_index(table, rebuilt)
+    want = (
+        rebuilt.read().select("cell", "vec_id").toPandas()
+        .sort_values(["cell", "vec_id"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(want) == 9  # 9 live vectors; 7 deleted
+    cells = dict(zip(want["vec_id"], want["cell"]))
+    assert cells[4] == 2 and 7 not in cells  # the move and the delete
+    assert read_cursor(
+        os.path.join(aidx.root, "_ann_cursor.json"), "refreshed_version"
+    ) == table.current_version()
+    # post-stream refresh is a no-op: the stream kept it current
+    assert refresh_ann_index(table, aidx)["mode"] == "noop"
 
 
 def test_stream_maintains_indexes(spark, tmp_path):
