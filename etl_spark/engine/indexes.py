@@ -70,6 +70,13 @@ def refresh_indexes(spark, table: LakeTable, specs) -> list[dict]:
     target table's merges."""
     from etl_spark.lake import ann_index, dedup_index, neardup_index
 
+    roots = [s.root for s in specs]
+    if len(set(roots)) != len(roots):
+        dupes = sorted({r for r in roots if roots.count(r) > 1})
+        raise ValueError(
+            f"index_specs share a root {dupes}: one index table can "
+            "hold one derivation — give each spec its own root"
+        )
     out = []
     for s in specs:
         idx = LakeTable(spark, s.root)

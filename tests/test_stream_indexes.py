@@ -180,6 +180,21 @@ def _uv(lsn, vec_id, vec):
     return (lsn, "U", vec_id, None, 1, json.dumps({"embedding": vec}))
 
 
+def test_refresh_rejects_shared_index_root():
+    """Two specs pointing at one index root would fold two different
+    derivations into the same table — refused before any work."""
+    import pytest
+
+    from etl_spark.engine.indexes import refresh_indexes
+
+    specs = (
+        IndexSpec("dedup", "/tmp/idx_shared", "doc_id", "text"),
+        IndexSpec("neardup", "/tmp/idx_shared", "doc_id", "text"),
+    )
+    with pytest.raises(ValueError, match="share a root"):
+        refresh_indexes(None, None, specs)
+
+
 def test_stream_maintains_ann_index(spark, tmp_path):
     """The ANN branch of refresh_indexes through the REAL engine path:
     an embeddings-shaped stream (array<float> payload column) with
