@@ -73,6 +73,11 @@ class EngineConfig:
     # starts; the source needs a single long key column (the
     # documents/embeddings shape).
     index_specs: tuple = ()
+    # stream-maintained materialized aggregates (engine/indexes.MVSpec
+    # -> lake/mv.py): same placement, cadence, and crash contract as
+    # index_specs — each spec'd GROUP-BY aggregate folds the batch's
+    # signed deltas after the MERGE commits. Empty = off.
+    mv_specs: tuple = ()
     # refresh cadence: fold the feed every K batches (amortizes the
-    # per-index fixed cost when micro-batches are small)
+    # per-index/-MV fixed cost when micro-batches are small)
     index_refresh_every_batches: int = 1

@@ -614,13 +614,17 @@ def apply_batch(
     # index cursor behind and the next refresh covers both versions; a
     # replayed batch's MERGE no-ops via the ledger, so the refresh
     # sees no new version and no-ops via its cursor.
-    if cfg.index_specs and (
+    if (cfg.index_specs or cfg.mv_specs) and (
         (batch_id + 1) % max(1, cfg.index_refresh_every_batches) == 0
     ):
-        from etl_spark.engine.indexes import refresh_indexes
+        from etl_spark.engine.indexes import refresh_indexes, refresh_mvs
 
-        refresh_indexes(spark, table, cfg.index_specs)
-        _tlog(batch_id, "index_refresh", t)
+        if cfg.index_specs:
+            refresh_indexes(spark, table, cfg.index_specs)
+            _tlog(batch_id, "index_refresh", t)
+        if cfg.mv_specs:
+            refresh_mvs(table, cfg.mv_specs)
+            _tlog(batch_id, "mv_refresh", t)
 
 
 def reconcile_lineage(

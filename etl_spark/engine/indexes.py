@@ -1,21 +1,22 @@
-"""Streaming maintenance of the persisted-index family: keep the
+"""Streaming maintenance of persisted derived state: keep the
 exact-dedup / near-dup / ANN indexes (lake/dedup_index.py,
-lake/neardup_index.py, lake/ann_index.py) fresh FROM INSIDE the CDC
-replay loop, instead of as a separate maintenance job someone has to
-schedule.
+lake/neardup_index.py, lake/ann_index.py) and materialized aggregates
+(lake/mv.py) fresh FROM INSIDE the CDC replay loop, instead of as
+separate maintenance jobs someone has to schedule.
 
-Each index refresh is already an incremental change-feed fold with
-its own cursor and ledgered MERGEs, so wiring it into the apply loop
-needs no new machinery — after a micro-batch's MERGE commits, the
-refresh folds exactly that batch's changes into the index
-(O(batch + touched index buckets) per batch, the same cost class as
-the MERGE itself). Crash anywhere in the window and the contract
-composes: a crash before the refresh leaves the cursor behind — the
-next batch's refresh covers both versions; a replayed batch's MERGE
-no-ops through the table ledger, so the refresh sees no new version
-and no-ops through its cursor. `index_refresh_every_batches`
-amortizes the per-batch fixed cost (a few jobs per index) when
-batches are small.
+Each index/MV refresh is already an incremental change-feed fold with
+its own cursor (indexes add ledgered MERGEs; MVs a two-phase
+state-file swap), so wiring them into the apply loop needs no new
+machinery — after a micro-batch's MERGE commits, the refresh folds
+exactly that batch's changes into the derived state
+(O(batch + touched index buckets) / O(changed rows) per batch, the
+same cost class as the MERGE itself). Crash anywhere in the window
+and the contract composes: a crash before the refresh leaves the
+cursor behind — the next batch's refresh covers both versions; a
+replayed batch's MERGE no-ops through the table ledger, so the
+refresh sees no new version and no-ops through its cursor.
+`index_refresh_every_batches` amortizes the per-batch fixed cost
+(a few jobs per index) when batches are small.
 
 Index tables are CREATED by the caller (create_index /
 create_neardup_index / create_ann_index — the ANN centroids and
@@ -59,6 +60,42 @@ class IndexSpec:
             raise ValueError(
                 f"unknown index kind {self.kind!r}; expected one of {KINDS}"
             )
+
+
+@dataclass(frozen=True)
+class MVSpec:
+    """One stream-maintained materialized aggregate (lake/mv.py): the
+    state directory, the GROUP BY dims, and the additive metrics as
+    (output_name, long SQL expr) pairs — a tuple, not a dict, so the
+    spec stays immutable/hashable like the config that carries it."""
+
+    mv_dir: str
+    dims: tuple  # of column names
+    sums: tuple = ()  # of (name, sql_expr)
+
+
+def refresh_mvs(table: LakeTable, specs) -> list[dict]:
+    """Bring every spec'd materialized aggregate up to `table`'s
+    current version — one incremental signed-delta fold each (full
+    recompute on first refresh or rollback-in-window, per lake/mv.py).
+    Same main-thread placement and crash composition as
+    refresh_indexes."""
+    from etl_spark.lake import mv as _mv
+
+    dirs = [s.mv_dir for s in specs]
+    if len(set(dirs)) != len(dirs):
+        dupes = sorted({d for d in dirs if dirs.count(d) > 1})
+        raise ValueError(
+            f"mv_specs share a state dir {dupes}: one MV directory "
+            "holds one aggregate — give each spec its own mv_dir"
+        )
+    return [
+        {
+            "mv_dir": s.mv_dir,
+            **_mv.refresh(table, s.mv_dir, list(s.dims), dict(s.sums)),
+        }
+        for s in specs
+    ]
 
 
 def refresh_indexes(spark, table: LakeTable, specs) -> list[dict]:

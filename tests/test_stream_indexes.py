@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from etl_spark.cdc_schema import SourceSpec
 from etl_spark.config import EngineConfig
-from etl_spark.engine.indexes import IndexSpec
+from etl_spark.engine.indexes import IndexSpec, MVSpec
 from etl_spark.lake.ann_index import create_ann_index, refresh_ann_index
 from etl_spark.lake.dedup_index import create_index, groups
 from etl_spark.lake.neardup_index import create_neardup_index, neardup_pairs
@@ -102,6 +102,9 @@ def _mk_world(spark, tmp_path):
             IndexSpec("dedup", str(tmp_path / "didx"), "doc_id", "text"),
             IndexSpec("neardup", str(tmp_path / "ndidx"), "doc_id", "text"),
         ),
+        mv_specs=(
+            MVSpec(str(tmp_path / "mv"), ("text",), (("sum_ids", "doc_id"),)),
+        ),
     )
     create_index(spark, str(tmp_path / "didx"), num_buckets=4)
     create_neardup_index(spark, str(tmp_path / "ndidx"), num_buckets=4)
@@ -141,6 +144,29 @@ def _assert_indexes_match_recompute(spark, cfg):
     pd.testing.assert_frame_equal(got_p, want_p, check_dtype=False)
     assert len(want_p) > 0  # non-vacuous: real near-dup pairs
 
+    # the stream-maintained MV equals a full GROUP BY over the final
+    # table (deletes/updates exercised the signed-delta fold)
+    from etl_spark.lake.mv import read_mv
+
+    mv_dir = cfg.mv_specs[0].mv_dir
+    got_mv = (
+        read_mv(spark, mv_dir).toPandas()
+        .sort_values("text").reset_index(drop=True)
+    )
+    want_mv = (
+        final.groupBy("text")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("doc_id").cast("long").alias("sum_ids"),
+        )
+        .toPandas().sort_values("text").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got_mv[["text", "n_rows", "sum_ids"]],
+        want_mv[["text", "n_rows", "sum_ids"]],
+        check_dtype=False,
+    )
+
     # cursors sit at the table's current version: refreshes tracked
     # every committed batch, and a post-stream refresh is a no-op
     cur = table.current_version()
@@ -149,6 +175,9 @@ def _assert_indexes_match_recompute(spark, cfg):
     ) == cur
     assert read_cursor(
         os.path.join(ndidx.root, "_neardup_cursor.json"), "refreshed_version"
+    ) == cur
+    assert read_cursor(
+        os.path.join(mv_dir, "_cursor.json"), "refreshed_version"
     ) == cur
 
 
