@@ -22,12 +22,24 @@ from etl_spark.pipeline import bootstrap, final_state
 from tests.util import assert_frames_equal
 
 
-def _cfg(tmp_path, name: str) -> EngineConfig:
+def _cfg(tmp_path, name: str, with_mv: bool = False) -> EngineConfig:
+    kw = {}
+    if with_mv:
+        from etl_spark.engine.indexes import MVSpec
+
+        kw["mv_specs"] = (
+            MVSpec(
+                str(tmp_path / name / "mv"),
+                ("role",),
+                (("sum_turns", "turn_idx"),),
+            ),
+        )
     return EngineConfig(
         table_root=str(tmp_path / name / "tbl"),
         manifest_dir=str(tmp_path / name / "manifest"),
         checkpoint_dir=str(tmp_path / name / "ckpt"),  # unused (shared stream ckpt)
         num_buckets=8,
+        **kw,
     )
 
 
@@ -56,7 +68,13 @@ def test_two_targets_one_log(spark, tmp_path):
     seg_dir = str(tmp_path / "segments")
     write_segments(combined, seg_dir)  # each segment file carries both
 
-    cfgA, cfgB = _cfg(tmp_path, "A"), _cfg(tmp_path, "B")
+    # each route carries its OWN stream-maintained MV: per-entity
+    # derived state refreshed from concurrent applies (MVs are
+    # shape-agnostic — the composite-key transcripts flagship gets
+    # stream maintenance through mv_specs even though the long-key
+    # index family does not apply to it)
+    cfgA = _cfg(tmp_path, "A", with_mv=True)
+    cfgB = _cfg(tmp_path, "B", with_mv=True)
     routes = {
         "convA": (cfgA, opsA, TRANSCRIPTS),
         "convB": (cfgB, opsB, TRANSCRIPTS),
@@ -78,6 +96,33 @@ def test_two_targets_one_log(spark, tmp_path):
 
     assert LakeTable(spark, cfgA.table_root).manifest().schema.schema_id == 3
     assert LakeTable(spark, cfgB.table_root).manifest().schema.schema_id == 0
+
+    # the per-route stream-maintained MVs (refreshed from CONCURRENT
+    # applies, across A's mid-stream schema evolution) each equal a
+    # full GROUP BY over their own final table
+    from pyspark.sql import functions as F
+
+    from etl_spark.lake.mv import read_mv
+
+    for cfg in (cfgA, cfgB):
+        got = (
+            read_mv(spark, cfg.mv_specs[0].mv_dir)
+            .toPandas().sort_values("role").reset_index(drop=True)
+        )
+        want = (
+            LakeTable(spark, cfg.table_root).read()
+            .groupBy("role")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum("turn_idx").cast("long").alias("sum_turns"),
+            )
+            .toPandas().sort_values("role").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["role", "n_rows", "sum_turns"]],
+            want[["role", "n_rows", "sum_turns"]],
+            check_dtype=False,
+        )
 
 
 def test_shared_global_lsn_union_invariants(spark, tmp_path):
