@@ -25,7 +25,10 @@ index manifests); the stream only maintains them. Supported source
 shape: a single key column castable to long (the documents/embeddings
 shape) — the transcripts flagship's composite (conv_id, turn_idx) key
 has no per-row long id for index rows to reference, so its indexes
-remain external maintenance.
+remain external maintenance. MVs have no such constraint (the
+signed-delta fold never references row ids), so mv_specs apply to any
+table shape, composite keys included (routed golden in
+tests/test_route.py).
 
 The reference has nothing comparable (its sink is append-only JDBC);
 this composes the repo's streaming engine with its index family.
