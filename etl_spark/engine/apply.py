@@ -603,7 +603,7 @@ def apply_batch(
         (batch_id + 1) % max(1, cfg.compact_every_batches) == 0
     ):
         table.compact(cfg.compact_max_files_per_bucket)
-        _tlog(batch_id, "compact", t)
+        t = _tlog(batch_id, "compact", t)
 
     # 9. stream-maintained persisted indexes (engine/indexes.py): fold
     # this batch's change feed into each spec'd dedup/near-dup/ANN
@@ -621,10 +621,10 @@ def apply_batch(
 
         if cfg.index_specs:
             refresh_indexes(spark, table, cfg.index_specs)
-            _tlog(batch_id, "index_refresh", t)
+            t = _tlog(batch_id, "index_refresh", t)
         if cfg.mv_specs:
             refresh_mvs(table, cfg.mv_specs)
-            _tlog(batch_id, "mv_refresh", t)
+            t = _tlog(batch_id, "mv_refresh", t)
 
 
 def reconcile_lineage(

@@ -76,6 +76,60 @@ class MVSpec:
     dims: tuple  # of column names
     sums: tuple = ()  # of (name, sql_expr)
 
+    def __post_init__(self):
+        # misconfigs must fail at CONFIG-BUILD time, not K committed
+        # batches into the stream: dims="role" is iterable (would
+        # group by columns 'r','o','l','e'), and sums=(("n","e"))
+        # without the trailing comma is a 2-tuple of strings
+        if isinstance(self.dims, str) or not all(
+            isinstance(d, str) for d in self.dims
+        ) or not self.dims:
+            raise ValueError(
+                f"MVSpec.dims must be a non-empty tuple of column "
+                f"names, got {self.dims!r}"
+            )
+        if isinstance(self.sums, str) or not all(
+            isinstance(p, (tuple, list)) and len(p) == 2
+            and all(isinstance(x, str) for x in p)
+            for p in self.sums
+        ):
+            raise ValueError(
+                f"MVSpec.sums must be (name, sql_expr) pairs — note "
+                f"the trailing comma for a single pair — got "
+                f"{self.sums!r}"
+            )
+
+
+def _refuse_shared(values, what: str, fix: str) -> None:
+    vals = list(values)
+    if len(set(vals)) != len(vals):
+        dupes = sorted({v for v in vals if vals.count(v) > 1})
+        raise ValueError(f"{what} {dupes}: {fix}")
+
+
+def validate_disjoint_derived_state(cfgs) -> None:
+    """Refuse derived-state dirs shared ACROSS configs (and between
+    the index and MV namespaces): in a routed deployment the
+    per-entity applies run concurrently, so two routes pointing at one
+    index root or MV dir would interleave commits / state-file sweeps
+    into a plausible-looking but garbage derived state with a valid
+    cursor and no error anywhere. Called once at routed-stream start —
+    the per-call refusals inside refresh_indexes/refresh_mvs only see
+    one config's specs."""
+    _refuse_shared(
+        (
+            p
+            for cfg in cfgs
+            for p in (
+                [s.root for s in getattr(cfg, "index_specs", ())]
+                + [s.mv_dir for s in getattr(cfg, "mv_specs", ())]
+            )
+        ),
+        "derived-state dirs are shared across route configs",
+        "each route's index roots and MV dirs must be disjoint from "
+        "every other route's (and from each other)",
+    )
+
 
 def refresh_mvs(table: LakeTable, specs) -> list[dict]:
     """Bring every spec'd materialized aggregate up to `table`'s
@@ -85,13 +139,12 @@ def refresh_mvs(table: LakeTable, specs) -> list[dict]:
     refresh_indexes."""
     from etl_spark.lake import mv as _mv
 
-    dirs = [s.mv_dir for s in specs]
-    if len(set(dirs)) != len(dirs):
-        dupes = sorted({d for d in dirs if dirs.count(d) > 1})
-        raise ValueError(
-            f"mv_specs share a state dir {dupes}: one MV directory "
-            "holds one aggregate — give each spec its own mv_dir"
-        )
+    _refuse_shared(
+        (s.mv_dir for s in specs),
+        "mv_specs share a state dir",
+        "one MV directory holds one aggregate — give each spec its "
+        "own mv_dir",
+    )
     return [
         {
             "mv_dir": s.mv_dir,
@@ -110,13 +163,12 @@ def refresh_indexes(spark, table: LakeTable, specs) -> list[dict]:
     target table's merges."""
     from etl_spark.lake import ann_index, dedup_index, neardup_index
 
-    roots = [s.root for s in specs]
-    if len(set(roots)) != len(roots):
-        dupes = sorted({r for r in roots if roots.count(r) > 1})
-        raise ValueError(
-            f"index_specs share a root {dupes}: one index table can "
-            "hold one derivation — give each spec its own root"
-        )
+    _refuse_shared(
+        (s.root for s in specs),
+        "index_specs share a root",
+        "one index table can hold one derivation — give each spec "
+        "its own root",
+    )
     out = []
     for s in specs:
         idx = LakeTable(spark, s.root)

@@ -274,6 +274,12 @@ def run_replay_routed(
     (entity, lsn) — LSNs are unique within an entity's log — before
     the split, under one watermark (mixed watermark strings across
     flagged routes are a config error)."""
+    from etl_spark.engine.indexes import validate_disjoint_derived_state
+
+    # concurrent per-entity applies refresh derived state (indexes/
+    # MVs) from driver threads — shared dirs across routes would be
+    # silent corruption, so refuse them before any work starts
+    validate_disjoint_derived_state(cfg for cfg, _, _ in routes.values())
     reconcile_lineage_routed(spark, routes, checkpoint_dir, entity_col)
     stream = (
         spark.readStream.schema(routed_binlog_schema(routes, entity_col))

@@ -51,10 +51,10 @@ def _text(i: int) -> str:
     kind = r % 100
     if kind < 12:  # exact dup family: one of 40 shared base texts
         seed = r % 40
-    elif kind < 24:  # near-dup: shared base + one trailing token
+    elif kind < 24:  # near-dup: 48 shared tokens + a unique tail pair
         seed = r % 40
         base = [WORDS[_mix(seed * 1000 + j) % len(WORDS)] for j in range(48)]
-        return " ".join(base) + f" variant {i}"[:12]
+        return " ".join(base) + f" variant {i}"
     else:
         seed = i
     n = 40 + (_mix(seed) % 20)
@@ -66,10 +66,12 @@ def _write_segments(spark, seg_dir: str, n_docs: int, n_segments: int):
 
     os.makedirs(seg_dir)
     per = n_docs // n_segments
+    # the last segment absorbs the remainder so every doc is written
+    bounds = [s * per for s in range(n_segments)] + [n_docs]
     for s in range(n_segments):
         rows = [
             (i + 1, "U", i, None, 1, json.dumps({"text": _text(i)}))
-            for i in range(s * per, (s + 1) * per)
+            for i in range(bounds[s], bounds[s + 1])
         ]
         tmp = os.path.join(seg_dir, f"._tmp{s}")
         spark.createDataFrame(
@@ -155,9 +157,14 @@ def main():
         bare = _run(spark, work, seg, docs, "bare", with_derived=False)
         end = _end_refresh(spark, work, "bare")
         derived = _run(spark, work, seg, docs, "derived", with_derived=True)
+        # the amortized arm's cadence must divide n_segments, or the
+        # tail batches are never folded and the arm under-reports
+        cadence = max(2, n_segments // 2)
+        while n_segments % cadence:
+            cadence -= 1
         amortized = _run(
             spark, work, seg, docs, "amortized", with_derived=True,
-            cadence=max(2, n_segments // 2),
+            cadence=cadence,
         )
         print(json.dumps({
             "metric": "stream_derived_state_overhead",
@@ -168,7 +175,7 @@ def main():
             "end_refresh_once_s": round(end, 2),
             "derived_replay_s": round(derived, 2),
             "amortized_replay_s": round(amortized, 2),
-            "amortized_cadence": max(2, n_segments // 2),
+            "amortized_cadence": cadence,
             "overhead_s_per_batch": round((derived - bare) / n_segments, 3),
             "overhead_vs_end_refresh": round((derived - bare) / end, 2),
         }))

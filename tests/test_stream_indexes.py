@@ -209,6 +209,44 @@ def _uv(lsn, vec_id, vec):
     return (lsn, "U", vec_id, None, 1, json.dumps({"embedding": vec}))
 
 
+def test_mvspec_validates_at_construction():
+    """dims="role" (str is iterable of chars) and a missing trailing
+    comma in sums must fail when the config is BUILT, not K committed
+    batches into the stream."""
+    import pytest
+
+    with pytest.raises(ValueError, match="dims"):
+        MVSpec("/tmp/mv", "role")
+    with pytest.raises(ValueError, match="pairs"):
+        MVSpec("/tmp/mv", ("role",), ("sum_turns", "turn_idx"))
+    MVSpec("/tmp/mv", ("role",), (("sum_turns", "turn_idx"),))  # ok
+
+
+def test_routed_refuses_shared_derived_dirs():
+    """Two route configs pointing at one MV dir (or index root) would
+    let concurrent applies interleave commits/state sweeps into a
+    plausible-looking but garbage derived state — refused up front."""
+    import pytest
+
+    from etl_spark.config import EngineConfig
+    from etl_spark.engine.indexes import validate_disjoint_derived_state
+
+    mk = lambda mv: EngineConfig(  # noqa: E731
+        table_root="t", manifest_dir="m", checkpoint_dir="c",
+        mv_specs=(MVSpec(mv, ("role",)),),
+    )
+    with pytest.raises(ValueError, match="shared across route"):
+        validate_disjoint_derived_state([mk("/tmp/shared"), mk("/tmp/shared")])
+    validate_disjoint_derived_state([mk("/tmp/a"), mk("/tmp/b")])  # ok
+    # an index root colliding with an MV dir is the same corruption
+    cfg = EngineConfig(
+        table_root="t", manifest_dir="m", checkpoint_dir="c",
+        index_specs=(IndexSpec("dedup", "/tmp/shared", "id", "text"),),
+    )
+    with pytest.raises(ValueError, match="shared across route"):
+        validate_disjoint_derived_state([cfg, mk("/tmp/shared")])
+
+
 def test_refresh_rejects_shared_index_root():
     """Two specs pointing at one index root would fold two different
     derivations into the same table — refused before any work."""
