@@ -1712,6 +1712,93 @@ LEFT JOIN comps c USING (doc_id)
 """
 
 
+def q_curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split of the documents
+    corpus (operators/curation.hash_split): assignment is a pure
+    per-row function of (seed, doc_id) — a 32-bit md5-prefix uniform
+    against integer thresholds — so a document can never migrate
+    between train and test across re-runs, repartitionings, or
+    cluster sizes (df.randomSplit cannot promise that). Aggregated
+    per split (count, token mass, and the u32 sum as a value
+    checksum) so every row's assignment is oracle-checked."""
+    from etl_spark.operators.curation import hash_split, hash_uniform
+
+    docs = _t(spark, sf_dir, "documents")
+    split = hash_split(
+        docs, "doc_id", (("train", 80), ("val", 10), ("test", 10)), seed=42
+    )
+    return (
+        split.withColumn("_u", hash_uniform(F.col("doc_id"), 42))
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(TX.token_count(F.col("text"))).cast("long").alias("sum_tokens"),
+            F.sum("_u").cast("long").alias("sum_u"),
+        )
+    )
+
+
+SQL_CURATION_SPLIT = f"""
+WITH u AS (
+  SELECT doc_id, text,
+         CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS u32
+  FROM documents)
+SELECT CASE WHEN u32 < {(80 * (1 << 32)) // 100} THEN 'train'
+            WHEN u32 < {(90 * (1 << 32)) // 100} THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                t -> t <> ''))) AS BIGINT) AS sum_tokens,
+       CAST(sum(u32) AS BIGINT) AS sum_u
+FROM u
+GROUP BY 1
+"""
+
+
+def q_curation_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing (operators/curation.pack_shards):
+    documents in deterministic doc_id order are assigned to contiguous
+    shards of ~1000 tokens via shard_id = floor(exclusive running
+    token count / budget). The engine runs the DISTRIBUTED prefix sum
+    (key-range groups cumsum'd in parallel + a G-row offsets frame
+    broadcast back — no single-partition global window); the oracle is
+    the plain global-window formulation, so the hash match proves the
+    two-level decomposition exact. Aggregated per shard."""
+    from etl_spark.operators.curation import pack_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    packed = pack_shards(
+        docs, "doc_id", TX.token_count(F.col("text")), shard_budget=1000
+    )
+    return (
+        packed.groupBy("shard_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(TX.token_count(F.col("text"))).cast("long").alias("sum_tokens"),
+        )
+    )
+
+
+SQL_CURATION_SHARD_PACK = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+              t -> t <> '')) AS BIGINT) AS n_tok
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+  FROM t)
+SELECT CAST(excl // 1000 AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+FROM c
+GROUP BY 1
+"""
+
+
 SQL_DEDUP_COMPONENTS = _SQL_SHINGLES.replace(
     "WITH toks", "WITH RECURSIVE toks", 1
 ) + """,
@@ -2559,6 +2646,10 @@ QUERIES = {
     "mm_frame_sample": q_mm_frame_sample,
     "sim_ivf_topk": q_sim_ivf_topk,
     "mm_decode_features": q_mm_decode_features,
+    # round-5 curation extensions (deterministic hash split + shard
+    # packing): mirror-evidenced like the rest of the tail
+    "curation_split": q_curation_split,
+    "curation_shard_pack": q_curation_shard_pack,
 }
 
 ORACLES = {
@@ -2619,4 +2710,6 @@ ORACLES = {
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_index_neardup": SQL_DEDUP_INDEX_NEARDUP,
     "sim_ann_index": SQL_SIM_ANN_INDEX,
+    "curation_split": SQL_CURATION_SPLIT,
+    "curation_shard_pack": SQL_CURATION_SHARD_PACK,
 }

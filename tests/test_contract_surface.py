@@ -55,6 +55,12 @@ def test_replay_flagships_inside_driver_window():
         # real PNG codec with a dims+pixel-sum oracle
         "sim_ivf_topk",
         "mm_decode_features",
+        # round-5 curation extensions: deliberately mirror-evidenced
+        # (check_contract.py + pytest) rather than displacing an
+        # in-window query — every in-window entry is a distinct
+        # capability whose driver evidence we keep
+        "curation_split",
+        "curation_shard_pack",
     }
     overflow = set(keys[50:])
     assert overflow <= redundant_tail, overflow - redundant_tail

@@ -816,3 +816,81 @@ def test_contamination_cap_ignores_boilerplate(spark):
     r = out[0]
     assert r["train_id"] is None and r["shared"] == 0
     assert r["n_eval"] == 0 and r["containment_r4"] == 0.0
+
+
+# ---------------------------------------------------------- curation
+
+
+def test_hash_split_deterministic_and_partition_invariant(spark):
+    """The split is a pure function of (seed, key): identical
+    assignments at different partitionings (df.randomSplit cannot
+    promise that), different seeds reshuffle membership, and weights
+    that don't sum to 100 are refused."""
+    from etl_spark.operators.curation import hash_sample, hash_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    splits = (("train", 80), ("val", 10), ("test", 10))
+    a = dict(
+        (r["doc_id"], r["split"])
+        for r in hash_split(df, "doc_id", splits, seed=7).collect()
+    )
+    b = dict(
+        (r["doc_id"], r["split"])
+        for r in hash_split(df.repartition(13), "doc_id", splits, seed=7).collect()
+    )
+    assert a == b and len(a) == 2000
+    counts = {s: sum(1 for v in a.values() if v == s) for s, _ in splits}
+    # 32-bit uniform: expect ~80/10/10 within a loose band
+    assert 1500 < counts["train"] < 1750
+    assert 120 < counts["val"] < 280 and 120 < counts["test"] < 280
+    c = dict(
+        (r["doc_id"], r["split"])
+        for r in hash_split(df, "doc_id", splits, seed=8).collect()
+    )
+    assert a != c  # a new seed is a new draw
+    with pytest.raises(ValueError, match="sum to 100"):
+        hash_split(df, "doc_id", (("train", 80), ("val", 10)), seed=7)
+    # sample with the same seed is the u < threshold prefix family:
+    # the 10% sample is a subset of the 20% sample (nested samples)
+    s10 = {r["doc_id"] for r in hash_sample(df, "doc_id", 10, seed=7).collect()}
+    s20 = {r["doc_id"] for r in hash_sample(df, "doc_id", 20, seed=7).collect()}
+    assert s10 < s20 and 100 < len(s10) < 300
+
+
+def test_pack_shards_matches_sequential_reference(spark):
+    """The distributed prefix sum (key-range groups + offset frame)
+    must equal the sequential exclusive-cumsum packing for ANY group
+    count, on sparse non-contiguous keys with varying sizes."""
+    from etl_spark.operators.curation import pack_shards
+
+    rng = np.random.default_rng(11)
+    keys = sorted(rng.choice(100_000, size=500, replace=False).tolist())
+    sizes = rng.integers(1, 400, size=500).tolist()
+    rows = list(zip(keys, sizes))
+    df = spark.createDataFrame(rows, "doc_id long, n_tok int")
+
+    excl = 0
+    want = {}
+    for k, s in rows:  # already key-sorted
+        want[k] = excl // 1000
+        excl += s
+    for groups in (1, 3, 7, 32):
+        got = dict(
+            (r["doc_id"], r["shard_id"])
+            for r in pack_shards(
+                df, "doc_id", F.col("n_tok"), 1000, n_groups=groups
+            ).collect()
+        )
+        assert got == want, f"n_groups={groups}"
+    # shards are contiguous runs in key order starting at 0
+    ids = [want[k] for k in keys]
+    assert ids[0] == 0 and all(b - a in (0, 1) for a, b in zip(ids, ids[1:]))
+
+
+def test_pack_shards_empty_and_bad_budget(spark):
+    from etl_spark.operators.curation import pack_shards
+
+    df = spark.createDataFrame([], "doc_id long, n_tok int")
+    assert pack_shards(df, "doc_id", F.col("n_tok"), 10).count() == 0
+    with pytest.raises(ValueError, match="positive"):
+        pack_shards(df, "doc_id", F.col("n_tok"), 0)
