@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "lake_zorder_scan",
     "lake_where_in_scan",
     "cdc_default_backfill",
+    "curation_split",
+    "curation_shard_pack",
 ]
 
 
