@@ -131,8 +131,12 @@ def pack_shards(
         .drop("_gt")
     )
     excl = F.coalesce(F.sum("_sz").over(w_in), F.lit(0)) + F.col("_goff")
+    # integer DIV, not floor(double /): a double mantissa loses
+    # exactness past 2^53, i.e. at petascale token totals — exactly
+    # where this operator is supposed to still be correct
     return (
         rows.join(F.broadcast(offsets), "_grp")
-        .withColumn(out_col, F.floor(excl / F.lit(shard_budget)).cast("long"))
-        .drop("_sz", "_grp", "_goff")
+        .withColumn("_excl", excl)
+        .withColumn(out_col, F.expr(f"_excl DIV {int(shard_budget)}"))
+        .drop("_sz", "_grp", "_goff", "_excl")
     )

@@ -373,6 +373,30 @@ def main() -> None:
     checks.append(("near-dup index probe reads only the probed key's buckets",
                    0 < nn_probe < nn_full))
 
+    # curation operators: hash_split is a pure per-row projection
+    # (no exchange), and pack_shards' DATA-path window is partitioned
+    # (the only SinglePartition exchange feeds the G-row offsets
+    # frame) with the offsets broadcast back and an integer-DIV shard
+    # assignment (no double division that loses exactness past 2^53)
+    from etl_spark.functions.text import token_count
+    from etl_spark.operators.curation import hash_split, pack_shards
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    p = plan_of(
+        hash_split(docs, "doc_id", (("train", 80), ("val", 10), ("test", 10)), 42)
+    )
+    checks.append(("hash_split is shuffle-free (pure projection)",
+                   "Exchange" not in p))
+    p = plan_of(pack_shards(docs, "doc_id", token_count(F.col("text")), 1000))
+    checks.append(("pack_shards data window is partitioned by group",
+                   "windowspecdefinition(_grp" in p))
+    checks.append(("pack_shards' only SinglePartition exchange is the G-row offsets frame",
+                   p.count("SinglePartition") == 1))
+    checks.append(("pack_shards broadcasts the offsets frame",
+                   "BroadcastHashJoin" in p))
+    checks.append(("pack_shards shard id is integer DIV, not floor(double /)",
+                   " DIV " in p.replace("div", " DIV ") and "FLOOR(" not in p))
+
     failed = [name for name, ok in checks if not ok]
     for name, ok in checks:
         print(("ok    " if ok else "FAIL  ") + name)
