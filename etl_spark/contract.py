@@ -1767,15 +1767,18 @@ def q_curation_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-level decomposition exact. Aggregated per shard."""
     from etl_spark.operators.curation import pack_shards
 
-    docs = _t(spark, sf_dir, "documents")
-    packed = pack_shards(
-        docs, "doc_id", TX.token_count(F.col("text")), shard_budget=1000
+    # tokenize ONCE into a column both the packer and the aggregate
+    # read (token_count is the dominant per-row cost and Spark does
+    # not CSE across the window/aggregate boundary)
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tok", TX.token_count(F.col("text"))
     )
+    packed = pack_shards(docs, "doc_id", F.col("n_tok"), shard_budget=1000)
     return (
         packed.groupBy("shard_id")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
-            F.sum(TX.token_count(F.col("text"))).cast("long").alias("sum_tokens"),
+            F.sum("n_tok").cast("long").alias("sum_tokens"),
         )
     )
 
@@ -1789,7 +1792,7 @@ WITH t AS (
 c AS (
   SELECT doc_id, n_tok,
          COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
   FROM t)
 SELECT CAST(excl // 1000 AS BIGINT) AS shard_id,
        CAST(count(*) AS BIGINT) AS n_docs,

@@ -389,13 +389,21 @@ def main() -> None:
                    "Exchange" not in p))
     p = plan_of(pack_shards(docs, "doc_id", token_count(F.col("text")), 1000))
     checks.append(("pack_shards data window is partitioned by group",
-                   "windowspecdefinition(_grp" in p))
-    checks.append(("pack_shards' only SinglePartition exchange is the G-row offsets frame",
-                   p.count("SinglePartition") == 1))
+                   "windowspecdefinition(__ps_grp" in p))
+    checks.append(("pack_shards action plan has NO single-partition stage "
+                   "(offsets precomputed driver-side as bounded metadata)",
+                   "SinglePartition" not in p))
+    import re as _re
+
+    # formatted explain lists each node twice (tree line + detail
+    # header) — count detail headers only
+    n_scans = len(_re.findall(r"^\(\d+\) Scan parquet", p, _re.M))
+    checks.append(("pack_shards action plan scans the source exactly once",
+                   n_scans == 1))
     checks.append(("pack_shards broadcasts the offsets frame",
                    "BroadcastHashJoin" in p))
     checks.append(("pack_shards shard id is integer DIV, not floor(double /)",
-                   " DIV " in p.replace("div", " DIV ") and "FLOOR(" not in p))
+                   " div 1000)" in p and "FLOOR(" not in p))
 
     failed = [name for name, ok in checks if not ok]
     for name, ok in checks:

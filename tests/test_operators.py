@@ -871,7 +871,7 @@ def test_pack_shards_matches_sequential_reference(spark):
 
     excl = 0
     want = {}
-    for k, s in rows:  # already key-sorted
+    for k, s in rows:  # already key-sorted, keys unique
         want[k] = excl // 1000
         excl += s
     for groups in (1, 3, 7, 32):
@@ -887,10 +887,93 @@ def test_pack_shards_matches_sequential_reference(spark):
     assert ids[0] == 0 and all(b - a in (0, 1) for a, b in zip(ids, ids[1:]))
 
 
-def test_pack_shards_empty_and_bad_budget(spark):
+def test_pack_shards_outlier_key_space_still_parallelizes(spark):
+    """Snowflake-style ids (one outlier key far above a dense block)
+    collapse NAIVE uniform range-grouping into a single range holding
+    every real row — the refinement loop must split the dense block
+    back out, and the assignment must still match the sequential
+    reference."""
+    from etl_spark.operators.curation import pack_shards
+
+    rows = [(i, 100) for i in range(500)] + [(1 << 40, 100)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok int")
+    packed = pack_shards(df, "doc_id", F.col("n_tok"), 1000, n_groups=8)
+    got = dict((r["doc_id"], r["shard_id"]) for r in packed.collect())
+    excl = 0
+    for k, s in rows:
+        assert got[k] == excl // 1000, k
+        excl += s
+    # the refinement must give the dense block more than one group:
+    # the plan's group expression is embedded, so probe via the
+    # internal assignment — re-run with refinement disabled and
+    # assert the naive grouping differs (all dense rows in group 0)
+    from etl_spark.operators import curation as C
+
+    naive = pack_shards(
+        df, "doc_id", F.col("n_tok"), 1000, n_groups=8, refine_rounds=0
+    )
+    assert dict((r["doc_id"], r["shard_id"]) for r in naive.collect()) == got
+    # same answer either way (correctness is grouping-independent);
+    # the parallelism evidence is in the plan: refined run groups by
+    # a multi-start fold or tighter DIV, naive by the full-span DIV
+    p_ref = packed._sc._jvm.PythonSQLUtils.explainString(
+        packed._jdf.queryExecution(), "formatted"
+    )
+    p_nai = naive._sc._jvm.PythonSQLUtils.explainString(
+        naive._jdf.queryExecution(), "formatted"
+    )
+    assert p_ref != p_nai  # refinement changed the group assignment
+
+
+def test_pack_shards_duplicate_keys_are_deterministic(spark):
+    """Tied keys share one RANGE-frame exclusive sum, so duplicate
+    keys get IDENTICAL shard ids in any run — no ROWS-frame tie
+    lottery."""
+    from etl_spark.operators.curation import pack_shards
+
+    rows = [(1, 500), (2, 600), (2, 600), (3, 100)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok int")
+    for groups in (1, 4):
+        out = pack_shards(
+            df, "doc_id", F.col("n_tok"), 1000, n_groups=groups
+        ).collect()
+        by_key = {}
+        for r in out:
+            by_key.setdefault(r["doc_id"], set()).add(r["shard_id"])
+        assert by_key[2] == {0}, by_key  # both tied rows: excl=500 -> shard 0
+        assert by_key[1] == {0}
+        assert by_key[3] == {1}, by_key  # excl = 500+1200 = 1700 -> shard 1
+
+
+def test_pack_shards_empty_bad_budget_and_collisions(spark):
     from etl_spark.operators.curation import pack_shards
 
     df = spark.createDataFrame([], "doc_id long, n_tok int")
     assert pack_shards(df, "doc_id", F.col("n_tok"), 10).count() == 0
     with pytest.raises(ValueError, match="positive"):
         pack_shards(df, "doc_id", F.col("n_tok"), 0)
+    clash = df.withColumn("__ps_grp", F.lit(1))
+    with pytest.raises(ValueError, match="reserves"):
+        pack_shards(clash, "doc_id", F.col("n_tok"), 10)
+
+
+def test_hash_ops_refuse_null_keys_and_bad_weights(spark):
+    """NULL keys have no identity: hashing them would pool every NULL
+    into the last split and drop them from every sample with no error
+    — both operators raise at row level instead. Weights must be
+    positive ints (a (110, -10) pair sums to 100 but silently empties
+    a split)."""
+    from etl_spark.operators.curation import hash_sample, hash_split
+
+    df = spark.createDataFrame([(1,), (None,)], "doc_id long")
+    with pytest.raises(Exception) as ei:
+        hash_sample(df, "doc_id", 100, seed=1).collect()
+    assert "NULL key" in str(ei.value)
+    with pytest.raises(Exception) as ei:
+        hash_split(
+            df, "doc_id", (("a", 50), ("b", 50)), seed=1
+        ).collect()
+    assert "NULL key" in str(ei.value)
+    ok = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    with pytest.raises(ValueError, match="positive"):
+        hash_split(ok, "doc_id", (("a", 110), ("b", -10)), seed=1)
