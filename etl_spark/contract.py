@@ -1756,6 +1756,52 @@ GROUP BY 1
 """
 
 
+def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit a training pipeline runs right after splitting: did
+    near-duplicate text leak across the train/test boundary? Composes
+    the deterministic hash split (curation.hash_split thresholds,
+    seed 42: train = u < 80%, test = u >= 90%, val held out of both
+    sides) with the capped shared-shingle contamination kernel
+    (operators/dedup.contamination_overlap — never all-pairs). The
+    oracle is SQL_CONTAMINATION with the modulo split predicates
+    swapped for the same md5-threshold predicates."""
+    from etl_spark.operators.curation import hash_uniform
+
+    docs = _t(spark, sf_dir, "documents")
+    u = hash_uniform(F.col("doc_id"), 42)
+    train = docs.filter(u < F.lit((80 * (1 << 32)) // 100))
+    test = docs.filter(u >= F.lit((90 * (1 << 32)) // 100))
+    return DD.contamination_overlap(train, test, "doc_id", "text", n=3)
+
+
+_SQL_MD5_U32 = (
+    "CAST(('0x' || substr(md5('42:' || CAST({col} AS VARCHAR)), 1, 8)) "
+    "AS BIGINT)"
+)
+
+SQL_SPLIT_CONTAMINATION = (
+    SQL_CONTAMINATION
+    .replace(
+        "tr AS (SELECT * FROM sh0 WHERE id % 10 <> 0),",
+        "tr AS (SELECT * FROM sh0 WHERE "
+        + _SQL_MD5_U32.format(col="id")
+        + f" < {(80 * (1 << 32)) // 100}),",
+    )
+    .replace(
+        "ev AS (SELECT * FROM sh0 WHERE id % 10 = 0),",
+        "ev AS (SELECT * FROM sh0 WHERE "
+        + _SQL_MD5_U32.format(col="id")
+        + f" >= {(90 * (1 << 32)) // 100}),",
+    )
+    .replace(
+        "FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d",
+        "FROM (SELECT doc_id FROM documents WHERE "
+        + _SQL_MD5_U32.format(col="doc_id")
+        + f" >= {(90 * (1 << 32)) // 100}) d",
+    )
+)
+
+
 def q_curation_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget shard packing (operators/curation.pack_shards):
     documents in deterministic doc_id order are assigned to contiguous
@@ -2653,6 +2699,7 @@ QUERIES = {
     # packing): mirror-evidenced like the rest of the tail
     "curation_split": q_curation_split,
     "curation_shard_pack": q_curation_shard_pack,
+    "split_contamination": q_split_contamination,
 }
 
 ORACLES = {
@@ -2715,4 +2762,5 @@ ORACLES = {
     "sim_ann_index": SQL_SIM_ANN_INDEX,
     "curation_split": SQL_CURATION_SPLIT,
     "curation_shard_pack": SQL_CURATION_SHARD_PACK,
+    "split_contamination": SQL_SPLIT_CONTAMINATION,
 }

@@ -61,6 +61,7 @@ def test_replay_flagships_inside_driver_window():
         # capability whose driver evidence we keep
         "curation_split",
         "curation_shard_pack",
+        "split_contamination",
     }
     overflow = set(keys[50:])
     assert overflow <= redundant_tail, overflow - redundant_tail
